@@ -1,0 +1,25 @@
+"""chsimpy_tpu — TPU-native Cahn-Hilliard phase-separation engine.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+reference ``chsimpy`` package (Na2O-SiO2 phase separation under uncertainty,
+semi-implicit spectral DCT method): same physics, CLI, exporters, UQ
+experiment driver and visualization — redesigned for TPU (MXU matmul DCTs,
+on-device while-loop stepping, pjit grid sharding, vmapped ensembles).
+"""
+
+import jax as _jax
+
+# float64 is part of the validation contract (<=1e-10 energy traces vs the
+# reference); fast mode selects float32 arrays per run via Parameters.precision.
+_jax.config.update('jax_enable_x64', True)
+
+from .params import Parameters  # noqa: E402,F401
+from .solution import Solution  # noqa: E402,F401
+from .timedata import TimeData  # noqa: E402,F401
+from .core.solver import Solver  # noqa: E402,F401
+from .simulator import Simulator  # noqa: E402,F401
+from .cli import CLIParser  # noqa: E402,F401
+from .version import __version__  # noqa: E402,F401
+
+__all__ = ['Parameters', 'Solution', 'TimeData', 'Solver', 'Simulator',
+           'CLIParser', '__version__']

@@ -1,0 +1,225 @@
+"""Host driver for the on-device Cahn-Hilliard integrator.
+
+API mirrors the reference ``Solver`` (``chsimpy/solver.py:17-252``):
+``prepare()`` then ``solve_or_resume(nsteps)`` (repeatable, used by the
+live-view chunk loop).  Internally, time stepping runs in device chunks
+(``chunk_size`` steps per ``lax.while_loop`` launch); the host syncs one
+scalar per chunk, appends the chunk's timedata rows, and honors the exact
+reference iteration-count semantics:
+
+* fresh solve (computed_steps == 1) runs ``nsteps - 1`` iterations,
+  a resume runs ``nsteps`` (solver.py:160-163);
+* ``hat_U`` is recomputed from U at every *API entry* (solver.py:159), but
+  carried across internal device chunks (which the reference has no
+  equivalent of — internal chunking is invisible in the results);
+* ``prepare()`` resets exactly what the reference resets (NOT
+  time_delta_sum / delt / skip_check — quirk preserved, solver.py:84-135).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..derived import Derived
+from ..ops import dct as dct_ops
+from ..params import Parameters
+from ..rng import FieldGenerator
+from ..solution import Solution
+from ..timedata import TimeData
+from . import state as state_mod
+from .state import STOP_NAN, STOP_NONE, STOP_STRINGS, SolverState
+from .stepper import StepConfig, make_chunk_runner, make_consts, make_prepare
+
+_JITTER_BUF_BYTES = 64 << 20  # cap on the per-chunk host jitter pre-draw
+
+
+class Solver:
+    """Cahn-Hilliard (CH) integrator: semi-implicit spectral method over the
+    2-D DCT, Flory-Huggins energy with linear Redlich-Kister interaction.
+    See Ghiass et al (2016), JMS Part B 55(4):411-425."""
+
+    def __init__(self, params: Parameters = None, U_init=None):
+        self.params = params if params is not None else Parameters()
+        params = self.params
+        self.derived = Derived.from_params(params)
+        self.solution = Solution(params, self.derived)
+        N = params.N
+
+        self.skip_check = False
+        self.time_delta_sum = 0.0
+        self.time_passed = 0.0
+        self._prepared = False
+        self.delt = params.delt
+
+        # --- initial field (host-side, bit-exact generators) ---
+        self.generator: Optional[FieldGenerator] = None
+        if U_init is not None:
+            U_init = np.asarray(U_init)
+            if U_init.shape != (N, N):
+                raise ValueError(
+                    f"U_init has wrong shape {U_init.shape}, "
+                    f"must be ({N}, {N})")
+            self.U_init = np.asarray(U_init, dtype=np.float64)
+        else:
+            self.generator = FieldGenerator(params.generator, N, params.seed)
+            self.U_init = self.generator.initial_field(params.XXX)
+
+        # --- jitter configuration ---
+        jitter_on = (params.jitter is not None
+                     and 0.0 < params.jitter < 0.1)
+        if jitter_on and params.generator == 'lcg' and U_init is None:
+            raise ValueError("jitter requires a sample stream; the 'lcg' "
+                             "generator has none (matches reference)")
+        if jitter_on:
+            if params.generator == 'simplex':
+                jitter_mode = 'static'
+            elif (params.jitter_backend == 'device'
+                  and params.generator == 'uniform'):
+                jitter_mode = 'device'
+            else:
+                jitter_mode = 'stream'
+        else:
+            jitter_mode = 'none'
+        self._jitter_mode = jitter_mode
+
+        time_limit = None
+        if params.time_max is not None and params.time_max > 0:
+            time_limit = params.time_max * 60.0
+
+        d = self.derived
+        self.cfg = StepConfig(
+            N=N,
+            dtype=params.precision,
+            RT=d.RT, BRT=d.BRT, A0=d.A0, A1=d.A1, B=params.B,
+            Amr=d.Amr, L=params.L, delx=d.delx, delx2=d.delx2,
+            kappa_tilde=d.kappa_tilde, M_tilde=params.M_tilde,
+            threshold=params.threshold,
+            delt_base=params.delt, delt_max=params.delt_max,
+            adaptive_time=params.adaptive_time,
+            time_limit=time_limit,
+            full_sim=params.full_sim,
+            jitter=params.jitter if jitter_on else None,
+            jitter_mode=jitter_mode,
+        )
+
+        # chunk size: device steps per host round-trip
+        self.chunk_size = max(1, int(params.chunk_size))
+        if jitter_mode == 'stream':
+            per_step = N * N * 8
+            self.chunk_size = max(
+                1, min(self.chunk_size, _JITTER_BUF_BYTES // per_step))
+
+        self._consts = make_consts(self.cfg, self.delt)
+        self._run_chunk = make_chunk_runner(self.cfg)
+        self._prepare_stats = make_prepare(self.cfg)
+        self._dct2 = jax.jit(lambda U: dct_ops.dct2(U, self._consts['C']))
+        self._state: Optional[SolverState] = None
+        # placeholder so the runner signature is stable in all modes
+        self._null_jbuf = jnp.zeros((), self.cfg.jdtype)
+        if jitter_mode == 'static':
+            self._static_jbuf = jnp.asarray(
+                self.generator.next_sample(), self.cfg.jdtype)
+
+    # ------------------------------------------------------------------
+    def prepare(self) -> None:
+        """Initial computations before the simulation loop
+        (reference solver.py:84-135)."""
+        U0 = jnp.asarray(self.U_init, self.cfg.jdtype)
+        E, E2, Ra, PS = self._prepare_stats(U0)
+        E, E2, Ra, PS = (float(E), float(E2), float(Ra), float(PS))
+
+        data = TimeData()
+        data.insert(it=0, delt=self.delt, E=E, E2=E2, SA=0, domtime=0,
+                    Ra=Ra, L2=0, PS=PS)
+
+        self._state = state_mod.init_state(
+            U0=U0,
+            hat_U0=jnp.zeros_like(U0),  # rebuilt at solve entry
+            delt=self.delt,
+            E2_first=E2,
+            chunk_cap=self.chunk_size,
+            seed=self.params.seed,
+        )
+        # quirk parity: prepare() does NOT reset time_delta_sum/skip_check
+        self._state = self._state.replace(
+            time_delta_sum=jnp.asarray(self.time_delta_sum, jnp.float64),
+            skip_check=jnp.asarray(self.skip_check),
+        )
+        self.solution.U = np.asarray(U0)
+        self.solution.timedata = data
+        self.solution.tau0 = 0.0
+        self.solution.t0 = 0.0
+        self.solution.stop_reason = 'None'
+        self.solution.computed_steps = 1
+        self._prepared = True
+
+    # ------------------------------------------------------------------
+    def _draw_jitter_buf(self, k: int):
+        if self._jitter_mode == 'stream':
+            slabs = np.empty((self.chunk_size, self.params.N, self.params.N),
+                             dtype=np.float64)
+            for i in range(k):
+                slabs[i] = self.generator.next_sample()
+            return jnp.asarray(slabs, self.cfg.jdtype)
+        if self._jitter_mode == 'static':
+            return self._static_jbuf
+        return self._null_jbuf
+
+    def solve_or_resume(self, nsteps: Optional[int] = None) -> Solution:
+        """Run (or continue) the simulation; returns the Solution."""
+        assert self._prepared is True
+        if nsteps is None:
+            nsteps = max(self.params.ntmax, 0)
+
+        # iteration-count semantics of solver.py:160-163
+        if self.solution.computed_steps == 1:
+            n_iters = max(nsteps - 1, 0)
+        else:
+            n_iters = nsteps
+
+        state = self._state
+        # reference recomputes the spectral image at every (re)entry
+        state = state.replace(hat_U=self._dct2(state.U))
+
+        while n_iters > 0 and self.solution.stop_reason == 'None':
+            k = min(n_iters, self.chunk_size)
+            jbuf = self._draw_jitter_buf(k)
+            state = self._run_chunk(state, jnp.asarray(k, jnp.int32),
+                                    self._consts, jbuf)
+            n_iters -= k
+            state = self._sync(state)
+
+        self._state = state
+        self.solution.U = np.asarray(state.U)
+        return self.solution
+
+    def _sync(self, state: SolverState) -> SolverState:
+        """Per-chunk host sync: pull rows, update host mirrors, map stop."""
+        rows = int(state.rows)
+        if rows > 0:
+            block = np.asarray(state.rowbuf[:rows])
+            try:
+                self.solution.timedata.insert_block(block)
+            except FloatingPointError:
+                self.solution.stop_reason = 'nan'
+                raise
+        stop = int(state.stop_reason)
+        if stop == STOP_NAN:
+            self.solution.stop_reason = 'nan'
+            raise FloatingPointError(
+                "NaN encountered in timedata (step "
+                f"{int(state.computed_steps)})")
+        if stop != STOP_NONE:
+            self.solution.stop_reason = STOP_STRINGS[stop]
+        self.solution.computed_steps = int(state.computed_steps)
+        self.solution.tau0 = float(state.tau0)
+        self.solution.t0 = float(state.t0)
+        self.skip_check = bool(state.skip_check)
+        self.delt = float(state.delt)
+        self.time_delta_sum = float(state.time_delta_sum)
+        self.time_passed = self.time_delta_sum / self.params.M_tilde
+        return state.replace(rows=jnp.asarray(0, jnp.int32))

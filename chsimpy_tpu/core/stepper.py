@@ -1,0 +1,246 @@
+"""The jitted Cahn-Hilliard time stepper.
+
+TPU-native re-design of the reference hot loop (``chsimpy/solver.py:165-249``):
+one pure step function — nonlinear chemical potential, optional adaptive-dt
+coefficient rebuild, spectral semi-implicit update via matmul DCTs (MXU),
+energy/stat reductions, timedata row write, early-stop predicate — driven by
+an on-device ``lax.while_loop`` over a chunk of steps.  The host syncs one
+scalar (stop_reason) per chunk instead of per step.
+
+Semantics preserved exactly, in order (reference line refs inline):
+  * EnergieEut                         solver.py:168-175
+  * adaptive delt + coeff rebuild      solver.py:177-193
+  * time accumulation + time-limit     solver.py:195-199 (break BEFORE update)
+  * spectral update + inverse DCT      solver.py:201-208
+  * per-step jitter                    solver.py:210-211
+  * energies and statistics            solver.py:213-228
+  * timedata insert (it pre-increment) solver.py:231-239
+  * energy-fall early stop             solver.py:242-249, timedata.py:51-63
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops import coeffs as coeffs_ops
+from ..ops import dct as dct_ops
+from ..ops.stencil import gradient2d
+from .state import (STOP_ENERGY, STOP_NAN, STOP_NONE, STOP_TIME_LIMIT,
+                    SolverState)
+
+ADAPT_ALPHA = 500.0 / 2 ** 3  # solver.py:182
+
+
+@dataclass(frozen=True)
+class StepConfig:
+    """Static (compile-time) configuration of the step function."""
+    N: int
+    dtype: str                  # 'float64' | 'float32'
+    # physics scalars (all baked into the jaxpr as python floats)
+    RT: float
+    BRT: float
+    A0: float
+    A1: float
+    B: float
+    Amr: float
+    L: float
+    delx: float
+    delx2: float
+    kappa_tilde: float
+    M_tilde: float
+    threshold: float
+    # stepping
+    delt_base: float            # params.delt: lower bound in adaptive mode
+    delt_max: float
+    adaptive_time: bool = False
+    time_limit: Optional[float] = None  # seconds of simulated time
+    full_sim: bool = False
+    # jitter
+    jitter: Optional[float] = None
+    jitter_mode: str = 'none'   # none | stream | static | device
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+
+def make_consts(cfg: StepConfig, delt: float):
+    """Device-resident constant arrays passed to the runner: the DCT matrix,
+    the eigenvalue grid, and (non-adaptive) the update coefficient grids."""
+    dtype = cfg.jdtype
+    C = dct_ops.dct_matrix(cfg.N, dtype)
+    leig = coeffs_ops.eigenvalues(cfg.N, dtype)
+    CHeig, Seig = coeffs_ops.get_coefficients(
+        leig, cfg.kappa_tilde, jnp.asarray(delt, dtype), cfg.delx2)
+    return {'C': C, 'leig': leig,
+            'CHeig': CHeig.astype(dtype), 'Seig': Seig.astype(dtype)}
+
+
+def _nonlinear_term(cfg: StepConfig, U):
+    """Shifted nonlinear chemical potential EnergieEut (solver.py:168-175)."""
+    Uinv = 1.0 - U
+    U1Uinv = U / Uinv
+    U2inv = Uinv - U
+    return (cfg.RT * jnp.log(U1Uinv) - cfg.BRT
+            + (cfg.A0 + cfg.A1 * U2inv) * U2inv
+            - 2.0 * cfg.A1 * U * Uinv)
+
+
+def _stats(cfg: StepConfig, U, EnergieEut):
+    """Energy functionals and field statistics (solver.py:213-228).
+    Returns f64 scalars (row entries) regardless of field dtype."""
+    N = cfg.N
+    DUx, DUy = gradient2d(U, cfg.delx)
+    Du2 = DUx * DUx + DUy * DUy
+    Uinv = 1.0 - U
+    Lsq = cfg.L ** 2
+    E2 = 0.5 * cfg.Amr * cfg.kappa_tilde * Lsq * jnp.mean(Du2)
+    E = cfg.Amr * Lsq * jnp.mean(
+        cfg.RT * (U * (jnp.log(U) - cfg.B) + Uinv * jnp.log(Uinv))
+        + (cfg.A0 + cfg.A1 * (Uinv - U)) * U * Uinv) + E2
+    Um = U - jnp.mean(U)
+    PS = jnp.sum(jnp.abs(Um)) / (N ** 2)
+    L2 = jnp.sqrt(jnp.sum(EnergieEut * EnergieEut)) / (N ** 2)
+    mid = U[N // 2 + 1, :]
+    Ra = jnp.mean(jnp.abs(mid - jnp.mean(mid)))
+    SA = jnp.sum((U < cfg.threshold).astype(U.dtype)) / (N ** 2)
+    f64 = jnp.float64
+    return (E.astype(f64), E2.astype(f64), PS.astype(f64), L2.astype(f64),
+            Ra.astype(f64), SA.astype(f64))
+
+
+def prepare_row0(cfg: StepConfig, U):
+    """Step-0 energies for prepare() (solver.py:96-116): SA=0, L2=0,
+    domtime=0.  Returns (E, E2, Ra, PS) as f64 scalars."""
+    E, E2, PS, _, Ra, _ = _stats(cfg, U, jnp.zeros_like(U))
+    return E, E2, Ra, PS
+
+
+def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab):
+    dtype = cfg.jdtype
+    U = state.U
+    EnergieEut = _nonlinear_term(cfg, U)
+
+    # --- adaptive time stepping (solver.py:177-193) ---
+    if cfg.adaptive_time:
+        do_adapt = ((state.computed_steps > 500)
+                    & (state.computed_steps % 2 == 0))
+
+        def adapted(delt):
+            x = cfg.delt_max / jnp.sqrt(
+                1.0 + ADAPT_ALPHA * jnp.abs(EnergieEut) ** 2)
+            # np.linalg.norm(..., ord=-1) on a matrix = min abs column sum
+            delt_dyn = jnp.min(jnp.sum(x, axis=0)).astype(jnp.float64)
+            delt_new = jnp.maximum(cfg.delt_base, delt_dyn)
+            return jnp.where(delt_new / delt > 1.15,
+                             0.75 * delt + 0.25 * delt_new, delt_new)
+
+        delt = jnp.where(do_adapt, adapted(state.delt), state.delt)
+        CHeig, Seig = coeffs_ops.get_coefficients(
+            consts['leig'], cfg.kappa_tilde, delt.astype(dtype), cfg.delx2)
+    else:
+        delt = state.delt
+        CHeig, Seig = consts['CHeig'], consts['Seig']
+
+    # --- time accumulation; limit hit aborts BEFORE the field update
+    # (solver.py:195-199) ---
+    tds = state.time_delta_sum + delt
+    time_passed = tds / cfg.M_tilde
+
+    def abort(state):
+        return state.replace(delt=delt, time_delta_sum=tds,
+                             stop_reason=jnp.asarray(STOP_TIME_LIMIT,
+                                                     jnp.int32))
+
+    def proceed(state):
+        C = consts['C']
+        # semi-implicit spectral update, eq. (12) of Ghiass et al (2016)
+        hat_rhs = state.hat_U + Seig * dct_ops.dct2(EnergieEut, C)
+        hat_U = hat_rhs / CHeig
+        U = dct_ops.idct2(hat_U, C)
+
+        rng_key = state.rng_key
+        if cfg.jitter_mode == 'stream' or cfg.jitter_mode == 'static':
+            U = U + cfg.jitter * (2.0 * jitter_slab.astype(dtype) - 1.0)
+        elif cfg.jitter_mode == 'device':
+            rng_key, sub = jax.random.split(rng_key)
+            r = jax.random.uniform(sub, (cfg.N, cfg.N), dtype)
+            U = U + cfg.jitter * (2.0 * r - 1.0)
+
+        E, E2, PS, L2, Ra, SA = _stats(cfg, U, EnergieEut)
+        domtime = time_passed ** (1.0 / 3.0)
+        it = state.computed_steps  # row stores the pre-increment count
+        row = jnp.stack([it.astype(jnp.float64), E, E2, SA, domtime,
+                         Ra, L2, PS, delt])
+        rowbuf = lax.dynamic_update_slice(
+            state.rowbuf, row[None, :],
+            (state.rows, jnp.asarray(0, jnp.int32)))
+        steps_new = state.computed_steps + 1
+
+        # NaN health guard (reference: assert in timedata.insert)
+        has_nan = jnp.any(jnp.isnan(row))
+
+        # early-stop predicate E2[it-1] > E2[it] > E2[0] (timedata.py:51-63)
+        falls = (state.E2_prev > E2) & (E2 > state.E2_first)
+        trigger = falls & jnp.logical_not(state.skip_check)
+        tau0 = jnp.where(trigger, steps_new.astype(jnp.float64), state.tau0)
+        t0 = jnp.where(trigger, time_passed, state.t0)
+        if cfg.full_sim:
+            skip_check = state.skip_check | trigger
+            stop = jnp.asarray(STOP_NONE, jnp.int32)
+        else:
+            skip_check = state.skip_check
+            stop = jnp.where(trigger, STOP_ENERGY, STOP_NONE).astype(jnp.int32)
+        stop = jnp.where(has_nan, STOP_NAN, stop).astype(jnp.int32)
+
+        return state.replace(
+            U=U, hat_U=hat_U, delt=delt, time_delta_sum=tds,
+            computed_steps=steps_new, skip_check=skip_check,
+            stop_reason=stop, tau0=tau0, t0=t0, E2_prev=E2,
+            rows=state.rows + 1, rowbuf=rowbuf, rng_key=rng_key)
+
+    if cfg.time_limit is None:
+        return proceed(state)
+    return lax.cond(time_passed > cfg.time_limit, abort, proceed, state)
+
+
+def make_chunk_runner(cfg: StepConfig):
+    """Returns jitted ``run(state, n_iters, consts, jitter_buf) -> state``
+    executing up to ``n_iters`` steps on device (stops early on
+    stop_reason != 0).  ``n_iters`` is traced, so chunk after chunk reuses
+    one executable."""
+
+    use_stream = cfg.jitter_mode == 'stream'
+    use_static = cfg.jitter_mode == 'static'
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(state: SolverState, n_iters, consts, jitter_buf):
+        def cond(carry):
+            s, i = carry
+            return (i < n_iters) & (s.stop_reason == STOP_NONE)
+
+        def body(carry):
+            s, i = carry
+            if use_stream:
+                slab = jitter_buf[i]
+            elif use_static:
+                slab = jitter_buf
+            else:
+                slab = None
+            return _step(cfg, consts, s, slab), i + 1
+
+        state, _ = lax.while_loop(cond, body,
+                                  (state, jnp.asarray(0, jnp.int32)))
+        return state
+
+    return run
+
+
+def make_prepare(cfg: StepConfig):
+    return jax.jit(lambda U: prepare_row0(cfg, U))

@@ -1,0 +1,130 @@
+"""Simulation parameters.
+
+TPU-native re-design of the reference parameter model
+(``chsimpy/parameters.py:17-130``): a mutable dataclass with the same ~30
+fields, but the A0/A1 interaction coefficients are *data* (constant override +
+multiplicative factor on the Kim & Sander fit) instead of un-serializable
+lambdas, plus new TPU-specific fields (precision, mesh shape, chunking).
+YAML round-trip is provided via PyYAML (reference used ruamel; file contents
+stay compatible for the scalar fields).
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+from . import material
+from .version import __version__
+
+
+@dataclass
+class Parameters:
+    """Initial simulation parameters (defaults = reference defaults,
+    ``chsimpy/parameters.py:21-64``)."""
+
+    seed: int = 2023
+    N: int = 512                      # [pixels] grid is N x N
+    L: float = 2.0                    # [µm] domain edge length
+    XXX: float = 0.875                # mean initial mole fraction of silica
+    temp: float = 650.0 + 273.15      # temperature [K]
+    B: float = 12.86                  # Gibbs-energy tuning parameter []
+    R: float = 0.0083144626181532     # gas constant [kJ / (K mol)]
+    N_A: float = 6.02214076e+23       # Avogadro constant [1/mol]
+
+    delt: float = 3e-8                # time step
+    delt_max: float = 9e-8            # max time step (adaptive mode)
+    M_tilde: float = 1.71e-8          # mobility factor [µm^2/(kJ s)]
+    kappa_tilde: Optional[float] = None  # None = derived via common tangent
+
+    threshold: float = 0.875          # splits component A/B in U
+    ntmax: int = int(1e6)             # max steps (early stop on energy fall)
+
+    export_csv: Optional[str] = None  # e.g. 'U,E2'
+    png: bool = False
+    png_anim: bool = False
+    yaml: bool = False
+    no_gui: bool = False
+    file_id: str = 'auto'
+    full_sim: bool = False
+    compress_csv: bool = False
+    time_max: Optional[float] = None  # minutes of simulated time (overrides ntmax)
+    generator: str = 'uniform'        # uniform | sobol | simplex | lcg
+    adaptive_time: bool = False
+    jitter: Optional[float] = None    # per-step noise factor in (0, 0.1)
+    update_every: Optional[int] = 100
+    no_diagrams: bool = False
+    Uinit_file: Optional[str] = None
+
+    # --- A0/A1 interaction model as data (reference: func_A0/func_A1 lambdas,
+    # chsimpy/parameters.py:66-67; constant CLI overrides cli_parser.py:157-160;
+    # multiplicative UQ factors experiment.py:95-99) ---
+    A0_const: Optional[float] = None  # if set: A0(T) == A0_const
+    A1_const: Optional[float] = None
+    A0_factor: float = 1.0            # multiplies Kim & Sander A0(T)
+    A1_factor: float = 1.0
+
+    # --- TPU-native extensions (no reference equivalent) ---
+    precision: str = 'float64'        # float64 (validation) | float32 (fast)
+    chunk_size: int = 1024            # device steps per host round-trip
+    mesh_shape: Optional[tuple] = None  # e.g. (2, 4) for a 2-D ('x','y') grid mesh
+    jitter_backend: str = 'host'      # host (bit-exact RNG) | device (threefry)
+
+    version: str = __version__
+
+    # ------------------------------------------------------------------
+    def func_A0(self, temp: float) -> float:
+        """A0(T) [kJ/mol] honoring constant override and UQ factor."""
+        if self.A0_const is not None:
+            return float(self.A0_const)
+        return material.A0(temp) * self.A0_factor
+
+    def func_A1(self, temp: float) -> float:
+        if self.A1_const is not None:
+            return float(self.A1_const)
+        return material.A1(temp) * self.A1_factor
+
+    # ------------------------------------------------------------------
+    def deepcopy(self) -> 'Parameters':
+        return copy.deepcopy(self)
+
+    def scalar_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d['mesh_shape'] = list(self.mesh_shape) if self.mesh_shape else None
+        return d
+
+    def is_scalarwise_equal_with(self, other: 'Parameters') -> bool:
+        """Equality over scalar fields, ignoring version (reference:
+        ``parameters.py:105-115``)."""
+        if not isinstance(other, Parameters):
+            return False
+        sd, od = self.scalar_dict(), other.scalar_dict()
+        sd.pop('version', None)
+        od.pop('version', None)
+        return sd == od
+
+    def __str__(self):
+        return str(dict(sorted(self.scalar_dict().items())))
+
+    # ------------------------------------------------------------------
+    def yaml_export_scalars(self, fname: str) -> None:
+        from .io import yamlio
+        yamlio.export_scalars(fname, self.scalar_dict(), tag='Parameters')
+
+    def yaml_import_scalars(self, fname: str) -> None:
+        """Load scalar fields from a YAML file (own format or reference's);
+        unknown keys and callables-as-strings are skipped (reference:
+        ``parameters.py:91-101``)."""
+        from .io import yamlio
+        data = yamlio.import_scalars(fname)
+        names = {f.name for f in dataclasses.fields(self)}
+        for k, v in data.items():
+            if k not in names or k == 'version':
+                continue
+            if isinstance(v, str) and v.startswith('lambda'):
+                continue
+            if k == 'mesh_shape' and v is not None:
+                v = tuple(v)
+            setattr(self, k, v)
