@@ -94,10 +94,11 @@ class Solver:
         self.cfg = StepConfig(
             N=N,
             dtype=params.precision,
-            RT=d.RT, BRT=d.BRT, A0=d.A0, A1=d.A1, B=params.B,
+            RT=d.RT, BRT=d.BRT, B=params.B,
             Amr=d.Amr, L=params.L, delx=d.delx, delx2=d.delx2,
-            kappa_tilde=d.kappa_tilde, M_tilde=params.M_tilde,
+            M_tilde=params.M_tilde,
             threshold=params.threshold,
+            A0=d.A0, A1=d.A1, kappa_tilde=d.kappa_tilde,
             delt_base=params.delt, delt_max=params.delt_max,
             adaptive_time=params.adaptive_time,
             time_limit=time_limit,
@@ -105,6 +106,12 @@ class Solver:
             jitter=params.jitter if jitter_on else None,
             jitter_mode=jitter_mode,
         )
+
+        # optional 2-D grid sharding over a device mesh
+        self.mesh = None
+        if params.mesh_shape is not None:
+            from ..parallel.mesh import make_grid_mesh
+            self.mesh = make_grid_mesh(params.mesh_shape)
 
         # chunk size: device steps per host round-trip
         self.chunk_size = max(1, int(params.chunk_size))
@@ -114,7 +121,10 @@ class Solver:
                 1, min(self.chunk_size, _JITTER_BUF_BYTES // per_step))
 
         self._consts = make_consts(self.cfg, self.delt)
-        self._run_chunk = make_chunk_runner(self.cfg)
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_consts
+            self._consts = shard_consts(self._consts, self.mesh)
+        self._run_chunk = make_chunk_runner(self.cfg, mesh=self.mesh)
         self._prepare_stats = make_prepare(self.cfg)
         self._dct2 = jax.jit(lambda U: dct_ops.dct2(U, self._consts['C']))
         self._state: Optional[SolverState] = None
@@ -129,7 +139,10 @@ class Solver:
         """Initial computations before the simulation loop
         (reference solver.py:84-135)."""
         U0 = jnp.asarray(self.U_init, self.cfg.jdtype)
-        E, E2, Ra, PS = self._prepare_stats(U0)
+        if self.mesh is not None:
+            from ..parallel.sharding import grid_sharding
+            U0 = jax.device_put(U0, grid_sharding(self.mesh))
+        E, E2, Ra, PS = self._prepare_stats(self._consts, U0)
         E, E2, Ra, PS = (float(E), float(E2), float(Ra), float(PS))
 
         data = TimeData()
@@ -149,6 +162,9 @@ class Solver:
             time_delta_sum=jnp.asarray(self.time_delta_sum, jnp.float64),
             skip_check=jnp.asarray(self.skip_check),
         )
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_state
+            self._state = shard_state(self._state, self.mesh)
         self.solution.U = np.asarray(U0)
         self.solution.timedata = data
         self.solution.tau0 = 0.0

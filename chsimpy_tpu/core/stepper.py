@@ -7,6 +7,12 @@ energy/stat reductions, timedata row write, early-stop predicate — driven by
 an on-device ``lax.while_loop`` over a chunk of steps.  The host syncs one
 scalar (stop_reason) per chunk instead of per step.
 
+The per-member physics scalars (A0, A1, kappa_tilde) travel in ``consts`` as
+*traced* device scalars, so the UQ ensemble driver can vmap the whole step
+over a batch of perturbed coefficients (reference: one process per run,
+``chsimpy/experiment.py:84-126``).  Everything else is static config baked
+into the jaxpr.
+
 Semantics preserved exactly, in order (reference line refs inline):
   * EnergieEut                         solver.py:168-175
   * adaptive delt + coeff rebuild      solver.py:177-193
@@ -27,6 +33,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops import coeffs as coeffs_ops
 from ..ops import dct as dct_ops
@@ -42,22 +49,23 @@ class StepConfig:
     """Static (compile-time) configuration of the step function."""
     N: int
     dtype: str                  # 'float64' | 'float32'
-    # physics scalars (all baked into the jaxpr as python floats)
+    # physics scalars shared across ensemble members (baked into the jaxpr)
     RT: float
     BRT: float
-    A0: float
-    A1: float
     B: float
     Amr: float
     L: float
     delx: float
     delx2: float
-    kappa_tilde: float
     M_tilde: float
     threshold: float
+    # per-run defaults for the traced scalars (single-run path)
+    A0: float = 0.0
+    A1: float = 0.0
+    kappa_tilde: float = 0.0
     # stepping
-    delt_base: float            # params.delt: lower bound in adaptive mode
-    delt_max: float
+    delt_base: float = 3e-8     # params.delt: lower bound in adaptive mode
+    delt_max: float = 9e-8
     adaptive_time: bool = False
     time_limit: Optional[float] = None  # seconds of simulated time
     full_sim: bool = False
@@ -70,40 +78,60 @@ class StepConfig:
         return jnp.dtype(self.dtype)
 
 
-def make_consts(cfg: StepConfig, delt: float):
-    """Device-resident constant arrays passed to the runner: the DCT matrix,
-    the eigenvalue grid, and (non-adaptive) the update coefficient grids."""
+def make_consts(cfg: StepConfig, delt: float,
+                A0: float = None, A1: float = None,
+                kappa_tilde: float = None) -> dict:
+    """Device-resident constants passed to the runner: DCT matrix,
+    eigenvalue grid, update coefficient grids, and the traced physics
+    scalars (A0, A1, kappa_tilde — the UQ-perturbable set)."""
     dtype = cfg.jdtype
+    A0 = cfg.A0 if A0 is None else A0
+    A1 = cfg.A1 if A1 is None else A1
+    kt = cfg.kappa_tilde if kappa_tilde is None else kappa_tilde
     C = dct_ops.dct_matrix(cfg.N, dtype)
     leig = coeffs_ops.eigenvalues(cfg.N, dtype)
     CHeig, Seig = coeffs_ops.get_coefficients(
-        leig, cfg.kappa_tilde, jnp.asarray(delt, dtype), cfg.delx2)
+        leig, jnp.asarray(kt, dtype), jnp.asarray(delt, dtype), cfg.delx2)
     return {'C': C, 'leig': leig,
-            'CHeig': CHeig.astype(dtype), 'Seig': Seig.astype(dtype)}
+            'CHeig': CHeig.astype(dtype), 'Seig': Seig.astype(dtype),
+            'A0': jnp.asarray(A0, jnp.float64),
+            'A1': jnp.asarray(A1, jnp.float64),
+            'kappa_tilde': jnp.asarray(kt, jnp.float64)}
 
 
-def _nonlinear_term(cfg: StepConfig, U):
+CONSTS_BATCH_AXES = {'C': None, 'leig': None, 'CHeig': 0, 'Seig': None,
+                     'A0': 0, 'A1': 0, 'kappa_tilde': 0}
+
+
+def _nonlinear_term(cfg: StepConfig, consts, U):
     """Shifted nonlinear chemical potential EnergieEut (solver.py:168-175)."""
+    dtype = U.dtype
+    A0 = consts['A0'].astype(dtype)
+    A1 = consts['A1'].astype(dtype)
     Uinv = 1.0 - U
     U1Uinv = U / Uinv
     U2inv = Uinv - U
     return (cfg.RT * jnp.log(U1Uinv) - cfg.BRT
-            + (cfg.A0 + cfg.A1 * U2inv) * U2inv
-            - 2.0 * cfg.A1 * U * Uinv)
+            + (A0 + A1 * U2inv) * U2inv
+            - 2.0 * A1 * U * Uinv)
 
 
-def _stats(cfg: StepConfig, U, EnergieEut):
+def _stats(cfg: StepConfig, consts, U, EnergieEut):
     """Energy functionals and field statistics (solver.py:213-228).
     Returns f64 scalars (row entries) regardless of field dtype."""
     N = cfg.N
+    dtype = U.dtype
+    A0 = consts['A0'].astype(dtype)
+    A1 = consts['A1'].astype(dtype)
+    kt = consts['kappa_tilde'].astype(dtype)
     DUx, DUy = gradient2d(U, cfg.delx)
     Du2 = DUx * DUx + DUy * DUy
     Uinv = 1.0 - U
     Lsq = cfg.L ** 2
-    E2 = 0.5 * cfg.Amr * cfg.kappa_tilde * Lsq * jnp.mean(Du2)
+    E2 = 0.5 * cfg.Amr * kt * Lsq * jnp.mean(Du2)
     E = cfg.Amr * Lsq * jnp.mean(
         cfg.RT * (U * (jnp.log(U) - cfg.B) + Uinv * jnp.log(Uinv))
-        + (cfg.A0 + cfg.A1 * (Uinv - U)) * U * Uinv) + E2
+        + (A0 + A1 * (Uinv - U)) * U * Uinv) + E2
     Um = U - jnp.mean(U)
     PS = jnp.sum(jnp.abs(Um)) / (N ** 2)
     L2 = jnp.sqrt(jnp.sum(EnergieEut * EnergieEut)) / (N ** 2)
@@ -115,17 +143,30 @@ def _stats(cfg: StepConfig, U, EnergieEut):
             Ra.astype(f64), SA.astype(f64))
 
 
-def prepare_row0(cfg: StepConfig, U):
+def prepare_row0(cfg: StepConfig, consts, U):
     """Step-0 energies for prepare() (solver.py:96-116): SA=0, L2=0,
     domtime=0.  Returns (E, E2, Ra, PS) as f64 scalars."""
-    E, E2, PS, _, Ra, _ = _stats(cfg, U, jnp.zeros_like(U))
+    E, E2, PS, _, Ra, _ = _stats(cfg, consts, U, jnp.zeros_like(U))
     return E, E2, Ra, PS
 
 
-def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab):
+def _grid_constrainer(mesh, axes=('x', 'y')):
+    """Returns a function pinning (N, N) arrays to the 2-D grid sharding.
+    Identity when mesh is None (single device)."""
+    if mesh is None:
+        return lambda x: x
+    spec = NamedSharding(mesh, P(*axes))
+
+    def constrain(x):
+        return lax.with_sharding_constraint(x, spec)
+    return constrain
+
+
+def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
+          constrain=lambda x: x):
     dtype = cfg.jdtype
     U = state.U
-    EnergieEut = _nonlinear_term(cfg, U)
+    EnergieEut = constrain(_nonlinear_term(cfg, consts, U))
 
     # --- adaptive time stepping (solver.py:177-193) ---
     if cfg.adaptive_time:
@@ -143,7 +184,10 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab):
 
         delt = jnp.where(do_adapt, adapted(state.delt), state.delt)
         CHeig, Seig = coeffs_ops.get_coefficients(
-            consts['leig'], cfg.kappa_tilde, delt.astype(dtype), cfg.delx2)
+            consts['leig'], consts['kappa_tilde'].astype(dtype),
+            delt.astype(dtype), cfg.delx2)
+        CHeig = constrain(CHeig)
+        Seig = constrain(Seig)
     else:
         delt = state.delt
         CHeig, Seig = consts['CHeig'], consts['Seig']
@@ -161,9 +205,9 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab):
     def proceed(state):
         C = consts['C']
         # semi-implicit spectral update, eq. (12) of Ghiass et al (2016)
-        hat_rhs = state.hat_U + Seig * dct_ops.dct2(EnergieEut, C)
-        hat_U = hat_rhs / CHeig
-        U = dct_ops.idct2(hat_U, C)
+        hat_E = dct_ops.dct2(EnergieEut, C, constrain=constrain)
+        hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
+        U = dct_ops.idct2(hat_U, C, constrain=constrain)
 
         rng_key = state.rng_key
         if cfg.jitter_mode == 'stream' or cfg.jitter_mode == 'static':
@@ -172,8 +216,9 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab):
             rng_key, sub = jax.random.split(rng_key)
             r = jax.random.uniform(sub, (cfg.N, cfg.N), dtype)
             U = U + cfg.jitter * (2.0 * r - 1.0)
+        U = constrain(U)
 
-        E, E2, PS, L2, Ra, SA = _stats(cfg, U, EnergieEut)
+        E, E2, PS, L2, Ra, SA = _stats(cfg, consts, U, EnergieEut)
         domtime = time_passed ** (1.0 / 3.0)
         it = state.computed_steps  # row stores the pre-increment count
         row = jnp.stack([it.astype(jnp.float64), E, E2, SA, domtime,
@@ -210,14 +255,16 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab):
     return lax.cond(time_passed > cfg.time_limit, abort, proceed, state)
 
 
-def make_chunk_runner(cfg: StepConfig):
+def make_chunk_runner(cfg: StepConfig, mesh=None):
     """Returns jitted ``run(state, n_iters, consts, jitter_buf) -> state``
     executing up to ``n_iters`` steps on device (stops early on
     stop_reason != 0).  ``n_iters`` is traced, so chunk after chunk reuses
-    one executable."""
+    one executable.  With ``mesh``, (N, N) arrays are pinned to the 2-D
+    P('x','y') grid sharding (distributed matmul-DCT via XLA collectives)."""
 
     use_stream = cfg.jitter_mode == 'stream'
     use_static = cfg.jitter_mode == 'static'
+    constrain = _grid_constrainer(mesh)
 
     @partial(jax.jit, donate_argnums=(0,))
     def run(state: SolverState, n_iters, consts, jitter_buf):
@@ -233,7 +280,7 @@ def make_chunk_runner(cfg: StepConfig):
                 slab = jitter_buf
             else:
                 slab = None
-            return _step(cfg, consts, s, slab), i + 1
+            return _step(cfg, consts, s, slab, constrain), i + 1
 
         state, _ = lax.while_loop(cond, body,
                                   (state, jnp.asarray(0, jnp.int32)))
@@ -243,4 +290,4 @@ def make_chunk_runner(cfg: StepConfig):
 
 
 def make_prepare(cfg: StepConfig):
-    return jax.jit(lambda U: prepare_row0(cfg, U))
+    return jax.jit(lambda consts, U: prepare_row0(cfg, consts, U))

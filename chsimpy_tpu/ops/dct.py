@@ -49,13 +49,19 @@ def _mm(a, b, precision):
 
 
 def dct2(U: jnp.ndarray, C: jnp.ndarray,
-         precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
-    """Orthonormal 2-D DCT-II (equals scipy ``dctn(U, norm='ortho')``)."""
-    return _mm(_mm(C, U, precision), C.T, precision)
+         precision=jax.lax.Precision.HIGHEST,
+         constrain=lambda x: x) -> jnp.ndarray:
+    """Orthonormal 2-D DCT-II (equals scipy ``dctn(U, norm='ortho')``).
+
+    ``constrain`` pins the row-transform intermediate back onto the grid
+    sharding so the distributed transform becomes: local row matmul ->
+    ICI collective (inserted by XLA) -> local column matmul."""
+    return _mm(constrain(_mm(C, U, precision)), C.T, precision)
 
 
 def idct2(X: jnp.ndarray, C: jnp.ndarray,
-          precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+          precision=jax.lax.Precision.HIGHEST,
+          constrain=lambda x: x) -> jnp.ndarray:
     """Orthonormal 2-D DCT-III, the exact inverse of :func:`dct2`
     (equals scipy ``idctn(X, norm='ortho')``)."""
-    return _mm(_mm(C.T, X, precision), C, precision)
+    return _mm(constrain(_mm(C.T, X, precision)), C, precision)

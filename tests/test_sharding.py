@@ -1,0 +1,66 @@
+"""Grid-sharding tests on the 8-device virtual CPU mesh: the sharded solver
+must reproduce the single-device results (up to collective reduction-order
+rounding) and actually distribute the field."""
+
+import jax
+import numpy as np
+import pytest
+
+import chsimpy_tpu as ct
+from chsimpy_tpu.parallel.mesh import best_grid_shape, make_grid_mesh
+
+
+def run(mesh_shape, N=64, ntmax=40):
+    p = ct.Parameters()
+    p.N = N
+    p.ntmax = ntmax
+    p.no_gui = True
+    p.update_every = None
+    p.full_sim = True
+    p.generator = 'lcg'
+    p.mesh_shape = mesh_shape
+    sim = ct.Simulator(p)
+    sol = sim.solve()
+    return sol
+
+
+@pytest.mark.parametrize('mesh_shape', [(2, 4), (1, 8), (2, 2)])
+def test_sharded_matches_single_device(mesh_shape):
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    ref = run(None)
+    sh = run(mesh_shape)
+    assert sh.computed_steps == ref.computed_steps
+    np.testing.assert_allclose(sh.U, ref.U, rtol=0, atol=1e-12)
+    td_ref = ref.timedata.data()
+    td_sh = sh.timedata.data()
+    np.testing.assert_allclose(td_sh[:, 1], td_ref[:, 1], rtol=1e-12)  # E
+    np.testing.assert_allclose(td_sh[:, 2], td_ref[:, 2], rtol=1e-10)  # E2
+
+
+def test_field_is_actually_sharded():
+    p = ct.Parameters()
+    p.N = 64
+    p.ntmax = 5
+    p.no_gui = True
+    p.update_every = None
+    p.full_sim = True
+    p.generator = 'lcg'
+    p.mesh_shape = (2, 4)
+    sim = ct.Simulator(p)
+    sim.solver.prepare()
+    sim.solver.solve_or_resume(5)
+    U = sim.solver._state.U
+    assert len(U.sharding.device_set) == 8
+    # each device holds a (32, 16) shard of the (64, 64) field
+    shard_shape = U.sharding.shard_shape(U.shape)
+    assert shard_shape == (32, 16)
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_grid_mesh((4, 4, 4))
+    with pytest.raises(ValueError):
+        make_grid_mesh((100, 100))
+    assert best_grid_shape(8) == (2, 4)
+    assert best_grid_shape(16) == (4, 4)
+    assert best_grid_shape(7) == (1, 7)
