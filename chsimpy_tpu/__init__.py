@@ -7,11 +7,27 @@ experiment driver and visualization — redesigned for TPU (MXU matmul DCTs,
 on-device while-loop stepping, pjit grid sharding, vmapped ensembles).
 """
 
+import os as _os
+
 import jax as _jax
 
 # float64 is part of the validation contract (<=1e-10 energy traces vs the
 # reference); fast mode selects float32 arrays per run via Parameters.precision.
 _jax.config.update('jax_enable_x64', True)
+
+# persistent compilation cache: TPU compiles of the chunked while-loop are
+# expensive; cache them across processes/rounds
+_cache_dir = _os.environ.get(
+    'CHSIMPY_TPU_COMPILE_CACHE',
+    _os.path.expanduser('~/.cache/chsimpy_tpu_xla'))
+if _cache_dir and _cache_dir.lower() != 'off':
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update('jax_compilation_cache_dir', _cache_dir)
+        _jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+        _jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
 
 from .params import Parameters  # noqa: E402,F401
 from .solution import Solution  # noqa: E402,F401

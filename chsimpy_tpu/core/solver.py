@@ -126,7 +126,10 @@ class Solver:
             self._consts = shard_consts(self._consts, self.mesh)
         self._run_chunk = make_chunk_runner(self.cfg, mesh=self.mesh)
         self._prepare_stats = make_prepare(self.cfg)
-        self._dct2 = jax.jit(lambda U: dct_ops.dct2(U, self._consts['C']))
+        # NOTE: the DCT matrix is an *argument*, never a closure capture —
+        # large constants embedded in HLO compile pathologically slowly on
+        # the TPU compile service
+        self._dct2 = jax.jit(dct_ops.dct2)
         self._state: Optional[SolverState] = None
         # placeholder so the runner signature is stable in all modes
         self._null_jbuf = jnp.zeros((), self.cfg.jdtype)
@@ -199,7 +202,7 @@ class Solver:
 
         state = self._state
         # reference recomputes the spectral image at every (re)entry
-        state = state.replace(hat_U=self._dct2(state.U))
+        state = state.replace(hat_U=self._dct2(state.U, self._consts['C']))
 
         while n_iters > 0 and self.solution.stop_reason == 'None':
             k = min(n_iters, self.chunk_size)

@@ -255,18 +255,12 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
     return lax.cond(time_passed > cfg.time_limit, abort, proceed, state)
 
 
-def make_chunk_runner(cfg: StepConfig, mesh=None):
-    """Returns jitted ``run(state, n_iters, consts, jitter_buf) -> state``
-    executing up to ``n_iters`` steps on device (stops early on
-    stop_reason != 0).  ``n_iters`` is traced, so chunk after chunk reuses
-    one executable.  With ``mesh``, (N, N) arrays are pinned to the 2-D
-    P('x','y') grid sharding (distributed matmul-DCT via XLA collectives)."""
-
+def _chunk_body(cfg: StepConfig, constrain):
+    """Raw (unjitted) chunk runner: up to ``n_iters`` steps under an
+    on-device while_loop, stopping early when stop_reason != 0."""
     use_stream = cfg.jitter_mode == 'stream'
     use_static = cfg.jitter_mode == 'static'
-    constrain = _grid_constrainer(mesh)
 
-    @partial(jax.jit, donate_argnums=(0,))
     def run(state: SolverState, n_iters, consts, jitter_buf):
         def cond(carry):
             s, i = carry
@@ -289,5 +283,48 @@ def make_chunk_runner(cfg: StepConfig, mesh=None):
     return run
 
 
+def make_chunk_runner(cfg: StepConfig, mesh=None):
+    """Jitted ``run(state, n_iters, consts, jitter_buf) -> state``.
+    ``n_iters`` is traced, so chunk after chunk reuses one executable.
+    With ``mesh``, (N, N) arrays are pinned to the 2-D P('x','y') grid
+    sharding (distributed matmul-DCT via XLA collectives)."""
+    run = _chunk_body(cfg, _grid_constrainer(mesh))
+    return jax.jit(run, donate_argnums=(0,))
+
+
+def make_ensemble_runner(cfg: StepConfig, mesh=None):
+    """Vmapped ensemble runner: batches the whole chunk over a leading
+    member axis (state leaves, CHeig, A0/A1/kappa_tilde batched; the DCT
+    matrix, eigenvalue grid, n_iters and jitter stream shared).
+
+    A vmapped ``lax.while_loop`` gives per-member early stop for free:
+    iteration continues while ANY member is active and finished members'
+    states are frozen by the predicate select — the TPU-native equivalent
+    of the reference's per-process Monte-Carlo pool
+    (``chsimpy/experiment.py:197-216``).
+
+    With a mesh containing an 'ens' axis, the member axis is sharded over
+    it (``spmd_axis_name``); with ('x','y') axes too, each member's grid is
+    additionally sharded (sharding constraints gain the member axis
+    automatically)."""
+    spmd = None
+    grid_mesh = None
+    if mesh is not None:
+        if 'ens' in mesh.axis_names:
+            spmd = 'ens'
+        if 'x' in mesh.axis_names and 'y' in mesh.axis_names:
+            grid_mesh = mesh
+    run = _chunk_body(cfg, _grid_constrainer(grid_mesh))
+    vrun = jax.vmap(run,
+                    in_axes=(0, None, CONSTS_BATCH_AXES, None),
+                    spmd_axis_name=spmd)
+    return jax.jit(vrun, donate_argnums=(0,))
+
+
 def make_prepare(cfg: StepConfig):
     return jax.jit(lambda consts, U: prepare_row0(cfg, consts, U))
+
+
+def make_ensemble_prepare(cfg: StepConfig):
+    return jax.jit(jax.vmap(lambda consts, U: prepare_row0(cfg, consts, U),
+                            in_axes=(CONSTS_BATCH_AXES, 0)))

@@ -1,0 +1,271 @@
+"""Vmapped Monte-Carlo ensemble solver.
+
+The reference runs each UQ member as a separate OS process, one full
+simulation per process (``chsimpy/experiment.py:84-126,197-216``).  Here the
+ensemble is a *batch axis of one SPMD program*: every member shares the step
+jaxpr; the perturbed physics scalars (A0, A1 and the kappa_tilde each pair
+implies) are traced per-member values; a vmapped on-device while_loop gives
+per-member early stopping; the member axis can be sharded over an 'ens' mesh
+axis (DCN across hosts).
+
+All members share the initial field (the reference re-uses the same seed for
+every run, ``experiment.py:87-89``) unless per-member fields are passed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import material
+from .core import state as state_mod
+from .core.solver import _JITTER_BUF_BYTES
+from .core.state import STOP_NAN, STOP_NONE, STOP_STRINGS
+from .core.stepper import (StepConfig, make_consts, make_ensemble_prepare,
+                           make_ensemble_runner)
+from .derived import Derived
+from .ops import coeffs as coeffs_ops
+from .ops import dct as dct_ops
+from .params import Parameters
+from .rng import FieldGenerator
+from .solution import Solution
+from .timedata import TimeData
+
+
+def derive_member_constants(params: Parameters, A0: float, A1: float):
+    """kappa_tilde implied by a member's (A0, A1) pair — the sympy
+    common-tangent solve the reference performs per process
+    (``chsimpy/solution.py:39-48``).  Host-side, cached by argument."""
+    if params.kappa_tilde is not None:
+        return params.kappa_tilde
+    kappa_base = material.get_distance_common_tangent(
+        R=params.R, T=params.temp, B=params.B, a0=A0, a1=A1, at=params.XXX)
+    return kappa_base / (0.1602564 * 64) ** 2
+
+
+class EnsembleSolver:
+    """Batched Cahn-Hilliard integrator over UQ members.
+
+    ``A_pairs`` is an (R, 2) array of (A0, A1) values (already perturbed).
+    API mirrors Solver: ``prepare()`` then ``solve_or_resume(nsteps)``;
+    results come back as one Solution per member via ``solutions()``.
+    """
+
+    def __init__(self, params: Parameters, A_pairs: np.ndarray,
+                 U_init: Optional[np.ndarray] = None, mesh=None):
+        self.params = params
+        A_pairs = np.asarray(A_pairs, dtype=np.float64)
+        if A_pairs.ndim != 2 or A_pairs.shape[1] != 2:
+            raise ValueError("A_pairs must be (R, 2)")
+        self.R = A_pairs.shape[0]
+        self.A0s = A_pairs[:, 0].copy()
+        self.A1s = A_pairs[:, 1].copy()
+        self.kappas = np.array([
+            derive_member_constants(params, a0, a1)
+            for a0, a1 in zip(self.A0s, self.A1s)])
+        self.mesh = mesh
+        N = params.N
+
+        # initial field: shared across members (reference semantics)
+        self.generator = None
+        if U_init is not None:
+            U_init = np.asarray(U_init, dtype=np.float64)
+            if U_init.shape != (N, N):
+                raise ValueError(f"U_init has wrong shape {U_init.shape}")
+            self.U_init = U_init
+        else:
+            self.generator = FieldGenerator(params.generator, N, params.seed)
+            self.U_init = self.generator.initial_field(params.XXX)
+
+        jitter_on = (params.jitter is not None
+                     and 0.0 < params.jitter < 0.1)
+        if jitter_on and params.generator == 'lcg':
+            raise ValueError("jitter requires a sample stream; 'lcg' has none")
+        if jitter_on:
+            jitter_mode = ('static' if params.generator == 'simplex'
+                           else 'stream')
+        else:
+            jitter_mode = 'none'
+        self._jitter_mode = jitter_mode
+
+        time_limit = None
+        if params.time_max is not None and params.time_max > 0:
+            time_limit = params.time_max * 60.0
+
+        # physics scalars shared across members come from the unperturbed
+        # derivation (Am, delx, RT, ... do not depend on A0/A1)
+        d = Derived.from_params(params)
+        self.cfg = StepConfig(
+            N=N, dtype=params.precision,
+            RT=d.RT, BRT=d.BRT, B=params.B,
+            Amr=d.Amr, L=params.L, delx=d.delx, delx2=d.delx2,
+            M_tilde=params.M_tilde, threshold=params.threshold,
+            A0=d.A0, A1=d.A1, kappa_tilde=d.kappa_tilde,
+            delt_base=params.delt, delt_max=params.delt_max,
+            adaptive_time=params.adaptive_time,
+            time_limit=time_limit, full_sim=params.full_sim,
+            jitter=params.jitter if jitter_on else None,
+            jitter_mode=jitter_mode,
+        )
+
+        self.chunk_size = max(1, int(params.chunk_size))
+        if jitter_mode == 'stream':
+            per_step = N * N * 8
+            self.chunk_size = max(
+                1, min(self.chunk_size, _JITTER_BUF_BYTES // per_step))
+
+        self._consts = self._build_consts()
+        self._run = make_ensemble_runner(self.cfg, mesh=mesh)
+        self._prepare = make_ensemble_prepare(self.cfg)
+        dtype = self.cfg.jdtype
+        self._null_jbuf = jnp.zeros((), dtype)
+        if jitter_mode == 'static':
+            self._static_jbuf = jnp.asarray(self.generator.next_sample(),
+                                            dtype)
+        self._states = None
+        self.timedatas = [TimeData() for _ in range(self.R)]
+        self._solutions = None
+
+    # ------------------------------------------------------------------
+    def _build_consts(self):
+        dtype = self.cfg.jdtype
+        base = make_consts(self.cfg, self.params.delt)
+        leig = base['leig']
+        kts = jnp.asarray(self.kappas)
+
+        def member_coeffs(leig, kt):
+            CHeig, _ = coeffs_ops.get_coefficients(
+                leig, kt.astype(dtype),
+                jnp.asarray(self.params.delt, dtype), self.cfg.delx2)
+            return CHeig.astype(dtype)
+
+        # leig as argument, not closure: large HLO constants compile
+        # pathologically slowly on the TPU compile service
+        CHeig_b = jax.jit(jax.vmap(member_coeffs,
+                                   in_axes=(None, 0)))(leig, kts)
+        return {'C': base['C'], 'leig': leig,
+                'CHeig': CHeig_b, 'Seig': base['Seig'],
+                'A0': jnp.asarray(self.A0s),
+                'A1': jnp.asarray(self.A1s),
+                'kappa_tilde': kts}
+
+    def _shard(self, tree):
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ens = NamedSharding(self.mesh, P('ens'))
+
+        def place(x):
+            if hasattr(x, 'ndim') and x.ndim >= 1 and x.shape[0] == self.R:
+                return jax.device_put(x, ens)
+            return x
+        return jax.tree_util.tree_map(place, tree)
+
+    # ------------------------------------------------------------------
+    def prepare(self):
+        dtype = self.cfg.jdtype
+        U0 = jnp.asarray(self.U_init, dtype)
+        U0_b = jnp.broadcast_to(U0, (self.R,) + U0.shape)
+        E, E2, Ra, PS = self._prepare(self._consts, U0_b)
+        E, E2, Ra, PS = (np.asarray(E), np.asarray(E2),
+                         np.asarray(Ra), np.asarray(PS))
+
+        states = jax.vmap(
+            lambda U, e2: state_mod.init_state(
+                U, jnp.zeros_like(U), self.params.delt, e2,
+                self.chunk_size, self.params.seed)
+        )(U0_b, jnp.asarray(E2))
+        # distinct buffers per leaf: vmap CSEs equal-valued leaves
+        # (E2_first/E2_prev) into one buffer, which the donating runner
+        # would otherwise receive twice
+        states = jax.tree_util.tree_map(lambda x: x.copy(), states)
+        self._states = self._shard(states)
+        self._consts = self._shard(self._consts)
+
+        self.timedatas = [TimeData() for _ in range(self.R)]
+        for r in range(self.R):
+            self.timedatas[r].insert(it=0, delt=self.params.delt, E=E[r],
+                                     E2=E2[r], SA=0, domtime=0, Ra=Ra[r],
+                                     L2=0, PS=PS[r])
+        self._solutions = None
+        self._stop = np.zeros(self.R, dtype=np.int64)
+
+    # ------------------------------------------------------------------
+    def _draw_jitter_buf(self, k):
+        if self._jitter_mode == 'stream':
+            slabs = np.empty((self.chunk_size, self.params.N, self.params.N),
+                             dtype=np.float64)
+            for i in range(k):
+                slabs[i] = self.generator.next_sample()
+            return jnp.asarray(slabs, self.cfg.jdtype)
+        if self._jitter_mode == 'static':
+            return self._static_jbuf
+        return self._null_jbuf
+
+    def solve_or_resume(self, nsteps: Optional[int] = None):
+        assert self._states is not None, "call prepare() first"
+        if nsteps is None:
+            nsteps = max(self.params.ntmax, 0)
+        computed = np.asarray(self._states.computed_steps)
+        # all members share entry semantics (same computed_steps when the
+        # ensemble is driven uniformly)
+        n_iters = nsteps - 1 if int(computed[0]) == 1 else nsteps
+        n_iters = max(n_iters, 0)
+
+        states = self._states
+        # reference recomputes the spectral image at every (re)entry
+        # (C passed as argument — see member_coeffs note)
+        states = states.replace(
+            hat_U=jax.jit(jax.vmap(dct_ops.dct2,
+                                   in_axes=(0, None)))(states.U,
+                                                       self._consts['C']))
+
+        while n_iters > 0 and np.any(self._stop == STOP_NONE):
+            k = min(n_iters, self.chunk_size)
+            jbuf = self._draw_jitter_buf(k)
+            states = self._run(states, jnp.asarray(k, jnp.int32),
+                               self._consts, jbuf)
+            n_iters -= k
+            states = self._sync(states)
+        self._states = states
+        return self.solutions()
+
+    def _sync(self, states):
+        rows = np.asarray(states.rows)
+        stops = np.asarray(states.stop_reason)
+        bufs = np.asarray(states.rowbuf)
+        for r in range(self.R):
+            if rows[r] > 0:
+                self.timedatas[r].insert_block(bufs[r, :rows[r]])
+            if stops[r] == STOP_NAN:
+                raise FloatingPointError(
+                    f"NaN in ensemble member {r}")
+        self._stop = stops
+        return states.replace(rows=jnp.zeros_like(states.rows))
+
+    # ------------------------------------------------------------------
+    def solutions(self) -> Sequence[Solution]:
+        states = self._states
+        Us = np.asarray(states.U)
+        steps = np.asarray(states.computed_steps)
+        tau0s = np.asarray(states.tau0)
+        t0s = np.asarray(states.t0)
+        stops = np.asarray(states.stop_reason)
+        sols = []
+        for r in range(self.R):
+            p = self.params.deepcopy()
+            p.A0_const = float(self.A0s[r])
+            p.A1_const = float(self.A1s[r])
+            p.kappa_tilde = float(self.kappas[r])
+            sol = Solution(p)
+            sol.U = Us[r]
+            sol.timedata = self.timedatas[r]
+            sol.computed_steps = int(steps[r])
+            sol.tau0 = float(tau0s[r])
+            sol.t0 = float(t0s[r])
+            sol.stop_reason = STOP_STRINGS[int(stops[r])]
+            sols.append(sol)
+        return sols

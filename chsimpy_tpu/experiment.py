@@ -1,0 +1,252 @@
+#!/usr/bin/env python
+"""Monte-Carlo UQ experiment driver.
+
+Mirrors the reference (``chsimpy/experiment.py``): perturbs the A0/A1
+Redlich-Kister coefficients by factors in [0.995, 1.005] drawn from
+uniform/sobol/grid/file sources (``experiment.py:148-190``), runs one full
+simulation per (A0, A1) pair, post-processes each run (miscibility gap,
+spinodal EPP roots, separation time) and aggregates to
+``<id>-results.csv`` / ``<id>-results-agg.csv`` (``experiment.py:218-229``).
+
+TPU-native execution: the runs are ONE vmapped SPMD program (EnsembleSolver)
+instead of a process pool — the member axis shards over the devices/hosts of
+an 'ens' mesh axis.  ``-P/--processes`` retains its meaning of "parallel
+width": it caps how many members run per device batch (default: all)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import material, sysinfo
+from .cli import CLIParser
+from .ensemble import EnsembleSolver
+from .io import csvio
+from .solution import Solution
+
+
+class ExperimentParams:
+    def __init__(self):
+        self.runs = 2
+        self.jitter_Arellow = 0.995
+        self.jitter_Arelhigh = 1.005
+        self.processes = -1
+        self.independent = False
+        self.A_source = 'uniform'
+        self.A_seed = None
+
+
+class ExperimentCLIParser:
+    def __init__(self):
+        self.cliparser = CLIParser('chsimpy-tpu (experiment)')
+        group = self.cliparser.parser.add_argument_group('Experiment')
+        group.add_argument('-R', '--runs', default=3, type=int,
+                           help='Number of Monte-Carlo runs')
+        group.add_argument('-P', '--processes', default=-1, type=int,
+                           help='Parallel width: members per device batch '
+                                '(-1 = all at once)')
+        group.add_argument('--independent', action='store_true',
+                           help='Independent A0, A1 runs, i.e. A0 and A1 do '
+                                'not vary at the same time')
+        group.add_argument('--A-source', default='uniform',
+                           help="= ['uniform', 'sobol', 'grid', '<filename>']"
+                                ' - Source for A0 x A1 numbers for the '
+                                'Monte-Carlo runs (uniform or sobol random '
+                                'numbers, evenly distributed grid points '
+                                '[sqrt(runs) x sqrt(runs)], location of '
+                                'text file with row-wise A0, A1 pairs)')
+        group.add_argument('--A-seed', default=85972, type=int,
+                           help='RNG seed for generating random A0, A1 '
+                                '(if --A-source is not file-based)')
+
+    def get_parameters(self, argv=None):
+        params = self.cliparser.get_parameters(argv)
+        exp_params = ExperimentParams()
+        args = self.cliparser.args
+        exp_params.runs = args.runs
+        exp_params.independent = args.independent
+        exp_params.A_source = args.A_source
+        params.no_gui = True
+        params.yaml = True
+        if args.export_csv is None:
+            params.export_csv = 'U, E, E2, SA'
+            params.compress_csv = True
+        else:
+            params.export_csv = args.export_csv
+            params.compress_csv = args.compress_csv
+        if exp_params.runs < 1:
+            self.cliparser.parser.error('ERROR: --runs must be at least 1.')
+        if params.png_anim:
+            self.cliparser.parser.error('ERROR: --png-anim is not allowed.')
+        exp_params.processes = args.processes
+        exp_params.A_seed = args.A_seed
+        return exp_params, params
+
+
+def generate_A_factors(exp_params: ExperimentParams) -> np.ndarray:
+    """(n_items, 2) matrix of multiplicative A0/A1 factors — the exact
+    uniform/sobol/grid constructions of ``experiment.py:148-188``
+    (bit-compatible streams)."""
+    lo, hi = exp_params.jitter_Arellow, exp_params.jitter_Arelhigh
+    runs = exp_params.runs
+    src = exp_params.A_source
+    if src in ('uniform', 'sobol'):
+        if src == 'sobol':
+            from scipy.stats import qmc
+            qrng = qmc.Sobol(d=2, seed=exp_params.A_seed)
+            m = int(np.ceil(np.log2(runs))) if runs > 1 else 0
+            rtemp = qrng.random_base2(m)
+            rtemp = qmc.scale(rtemp, lo, hi)
+            rtemp = np.transpose(rtemp[:runs])
+        else:
+            rng = np.random.Generator(np.random.PCG64(exp_params.A_seed))
+            rtemp = rng.uniform(lo, hi, size=(runs, 2))
+            rtemp = np.transpose(rtemp)
+        if exp_params.independent:
+            rand_values = np.ones((2 * runs, 2))
+            rand_values[:runs, 0] = rtemp[0]
+            rand_values[runs:, 1] = rtemp[1]
+        else:
+            rand_values = np.ones((runs, 2))
+            rand_values[:runs, 0] = rtemp[0]
+            rand_values[:runs, 1] = rtemp[1]
+        return rand_values
+    if src == 'grid':
+        nx = int(np.floor(np.sqrt(runs)))
+        exp_params.runs = nx * nx
+        xvec = np.linspace(lo, hi, nx)
+        if exp_params.independent:
+            rand_values = np.ones((2 * nx, 2))
+            rand_values[:nx, 0] = xvec
+            rand_values[nx:, 1] = xvec
+        else:
+            pts = [[v, w] for v in xvec for w in xvec]
+            rand_values = np.asarray(pts, dtype=np.float64)
+        return rand_values
+    raise ValueError(f"not a generated source: {src}")
+
+
+def postprocess_member(params, sol: Solution, run_id, fac_A0, fac_A1):
+    """Per-run sympy post-processing (``experiment.py:110-126``)."""
+    cgap = material.get_miscibility_gap(params.R, params.temp, params.B,
+                                        sol.A0, sol.A1)
+    sa, sb = material.get_roots_of_EPP(params.R, params.temp,
+                                       sol.A0, sol.A1)
+    itargmax = int(np.argmax(sol.E2))
+    return (sol.A0, sol.A1, cgap[0], cgap[1], sa, sb,
+            sol.tau0, sol.t0, itargmax, run_id, fac_A0, fac_A1)
+
+
+def export_member(params, sol: Solution, file_id: str):
+    """Per-run yaml/csv export with reference-compatible names."""
+    fname_sol = f"{file_id}.solution"
+    if params.yaml:
+        sol.yaml_export_scalars(fname=fname_sol + '.yaml')
+    if params.export_csv is not None:
+        fext = 'csv.bz2' if params.compress_csv else 'csv'
+        for member in params.export_csv.replace(' ', '').split(','):
+            varray = getattr(sol, member, None)
+            if isinstance(varray, np.ndarray):
+                csvio.csv_export_matrix(varray,
+                                        fname=f"{fname_sol}.{member}.{fext}")
+
+
+def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
+                         mesh=None, progress=True):
+    """Run the full ensemble; returns (results rows, file_id)."""
+    if A_list is None:
+        rand_values = generate_A_factors(exp_params)
+        A0_base = init_params.func_A0(init_params.temp)
+        A1_base = init_params.func_A1(init_params.temp)
+        A_pairs = np.stack([rand_values[:, 0] * A0_base,
+                            rand_values[:, 1] * A1_base], axis=1)
+        facs = rand_values
+    else:
+        A_pairs = np.asarray(A_list, dtype=np.float64)
+        facs = np.full_like(A_pairs, np.nan)
+
+    nr_items = A_pairs.shape[0]
+    width = exp_params.processes
+    if width is None or width <= 0:
+        width = nr_items
+
+    results = []
+    file_id = init_params.file_id
+    iterator = range(0, nr_items, width)
+    if progress:
+        try:
+            from tqdm import tqdm
+            iterator = tqdm(list(iterator), desc='ensemble batches')
+        except ImportError:
+            pass
+    for start in iterator:
+        stop = min(start + width, nr_items)
+        batch_params = init_params.deepcopy()
+        ens = EnsembleSolver(batch_params, A_pairs[start:stop],
+                             U_init=U_init, mesh=mesh)
+        ens.prepare()
+        sols = ens.solve_or_resume(init_params.ntmax)
+        for i, sol in enumerate(sols):
+            run_id = start + i
+            rp = init_params.deepcopy()
+            rp.file_id = f"{file_id}-run{run_id}"
+            export_member(rp, sol, rp.file_id)
+            fac0 = None if A_list is not None else facs[run_id, 0]
+            fac1 = None if A_list is not None else facs[run_id, 1]
+            results.append(postprocess_member(
+                init_params, sol, run_id, fac0, fac1))
+    return results
+
+
+def aggregate_results(results, file_id):
+    """results.csv + describe()/cv aggregation (``experiment.py:218-229``)."""
+    import pandas as pd
+    cols = ['A0', 'A1', 'ca', 'cb', 'sa', 'sb', 'tau0', 't0', 'tsep',
+            'id', 'fac_A0', 'fac_A1']
+    df_results = pd.DataFrame(results, columns=cols)
+    df_results[['tau0', 'id']] = df_results[['tau0', 'id']].astype(int)
+    df_results.to_csv(f"{file_id}-results.csv")
+    df_agg = df_results.loc[:, df_results.columns != 'id'].describe()
+    df_agg.loc['cv'] = df_agg.loc['std'] / df_agg.loc['mean']
+    df_agg.T.to_csv(f"{file_id}-results-agg.csv")
+    return df_results, df_agg
+
+
+def main(argv=None):
+    exp_cliparser = ExperimentCLIParser()
+    exp_cliparser.cliparser.print_info()
+    exp_params, init_params = exp_cliparser.get_parameters(argv)
+    print(str(init_params).replace(", '", "\n '"))
+
+    if init_params.file_id is None or init_params.file_id == 'auto':
+        init_params.file_id = sysinfo.get_or_create_file_id(
+            init_params.file_id)
+    sysinfo_list = sysinfo.get_system_info()
+
+    U_init = None
+    if init_params.Uinit_file is not None:
+        U_init = csvio.csv_import_matrix(init_params.Uinit_file)
+
+    A_list = None
+    if exp_params.A_source not in ('uniform', 'sobol', 'grid'):
+        A_list = csvio.csv_import_matrix(exp_params.A_source)
+
+    exp_params_list = sysinfo.vars_to_list(exp_params)
+    csvio.csv_export_list(f"{init_params.file_id}-metadata.csv",
+                          "\n".join(sysinfo_list + exp_params_list))
+
+    results = run_experiment_batch(init_params, exp_params,
+                                   A_list=A_list, U_init=U_init)
+    df_results, df_agg = aggregate_results(results, init_params.file_id)
+    print(df_agg.T)
+    print('Output files:')
+    print(f"  {init_params.file_id}-metadata.csv")
+    print(f"  {init_params.file_id}-results-agg.csv")
+    print(f"  {init_params.file_id}-results.csv")
+    print(f"  {{{init_params.file_id}-run***.solution.yaml}}")
+    print(f"  {{{init_params.file_id}-run***.solution.*.(csv|bz2)}}")
+    if init_params.png:
+        print(f"  {{{init_params.file_id}-run***.png}}")
+
+
+if __name__ == '__main__':
+    main()

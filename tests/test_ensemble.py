@@ -1,0 +1,154 @@
+"""Ensemble (UQ) tests: the vmapped batch must reproduce per-member
+single-run results bit-for-bit (same jaxpr, same math — only batching
+differs), honor per-member early stop, and shard over an 'ens' mesh axis."""
+
+import numpy as np
+import pytest
+
+import chsimpy_tpu as ct
+from chsimpy_tpu import material
+from chsimpy_tpu.ensemble import EnsembleSolver
+from chsimpy_tpu.experiment import (ExperimentParams, generate_A_factors,
+                                    run_experiment_batch, aggregate_results)
+
+
+def base_params(**kw):
+    p = ct.Parameters()
+    p.N = 32
+    p.ntmax = 40
+    p.no_gui = True
+    p.update_every = None
+    p.full_sim = True
+    p.generator = 'lcg'
+    p.kappa_tilde = 2.98911291966116e-4  # skip per-member sympy in tests
+    for k, v in kw.items():
+        setattr(p, k, v)
+    return p
+
+
+def a_pairs(p, factors):
+    A0 = material.A0(p.temp)
+    A1 = material.A1(p.temp)
+    return np.array([[A0 * f0, A1 * f1] for f0, f1 in factors])
+
+
+def test_ensemble_matches_single_runs():
+    p = base_params()
+    pairs = a_pairs(p, [(1.0, 1.0), (1.004, 0.997), (0.995, 1.005)])
+    ens = EnsembleSolver(p, pairs)
+    ens.prepare()
+    sols = ens.solve_or_resume(p.ntmax)
+    assert len(sols) == 3
+    for i, (A0, A1) in enumerate(pairs):
+        ps = base_params()
+        ps.A0_const = float(A0)
+        ps.A1_const = float(A1)
+        ref = ct.Simulator(ps).solve()
+        assert sols[i].computed_steps == ref.computed_steps
+        np.testing.assert_allclose(sols[i].U, ref.U, rtol=0, atol=1e-13)
+        np.testing.assert_allclose(sols[i].timedata.data(),
+                                   ref.timedata.data(), rtol=1e-12)
+
+
+def test_ensemble_per_member_early_stop():
+    """Members stop at different steps; finished members stay frozen."""
+    p = base_params(N=64, ntmax=6000, full_sim=False)
+    pairs = a_pairs(p, [(1.0, 1.0), (1.005, 1.005)])
+    ens = EnsembleSolver(p, pairs)
+    ens.prepare()
+    sols = ens.solve_or_resume(p.ntmax)
+    stops = [s.computed_steps for s in sols]
+    assert all(s.stop_reason == 'energy' for s in sols)
+    assert stops[0] != stops[1]  # perturbed physics separates earlier/later
+    # each member matches its own single run exactly
+    for i, (A0, A1) in enumerate(pairs):
+        ps = base_params(N=64, ntmax=6000, full_sim=False)
+        ps.A0_const = float(A0)
+        ps.A1_const = float(A1)
+        ref = ct.Simulator(ps).solve()
+        assert sols[i].computed_steps == ref.computed_steps
+        assert sols[i].tau0 == ref.tau0
+
+
+def test_ensemble_sharded_over_ens_axis():
+    import jax
+    from chsimpy_tpu.parallel.mesh import make_ensemble_mesh
+    p = base_params()
+    pairs = a_pairs(p, [(1.0 + 0.001 * i, 1.0 - 0.001 * i)
+                        for i in range(4)])
+    mesh = make_ensemble_mesh(4)
+    ens = EnsembleSolver(p, pairs, mesh=mesh)
+    ens.prepare()
+    sols = ens.solve_or_resume(p.ntmax)
+    ref = EnsembleSolver(p, pairs)
+    ref.prepare()
+    ref_sols = ref.solve_or_resume(p.ntmax)
+    for s, r in zip(sols, ref_sols):
+        np.testing.assert_allclose(s.U, r.U, rtol=0, atol=1e-13)
+
+
+def test_generate_A_factors_uniform_matches_reference_stream():
+    ep = ExperimentParams()
+    ep.runs = 5
+    ep.A_seed = 85972
+    rv = generate_A_factors(ep)
+    rng = np.random.Generator(np.random.PCG64(85972))
+    expected = rng.uniform(0.995, 1.005, size=(5, 2))
+    np.testing.assert_array_equal(rv, expected)
+
+
+def test_generate_A_factors_independent():
+    ep = ExperimentParams()
+    ep.runs = 3
+    ep.A_seed = 1
+    ep.independent = True
+    rv = generate_A_factors(ep)
+    assert rv.shape == (6, 2)
+    assert np.all(rv[:3, 1] == 1.0)  # A1 fixed while A0 varies
+    assert np.all(rv[3:, 0] == 1.0)
+
+
+def test_generate_A_factors_grid():
+    ep = ExperimentParams()
+    ep.runs = 9
+    ep.A_source = 'grid'
+    rv = generate_A_factors(ep)
+    assert rv.shape == (9, 2)
+    assert ep.runs == 9
+    xv = np.linspace(0.995, 1.005, 3)
+    np.testing.assert_allclose(sorted(set(rv[:, 0])), xv)
+
+
+def test_generate_A_factors_sobol():
+    pytest.importorskip('scipy')
+    from scipy.stats import qmc
+    ep = ExperimentParams()
+    ep.runs = 4
+    ep.A_source = 'sobol'
+    ep.A_seed = 85972
+    rv = generate_A_factors(ep)
+    qrng = qmc.Sobol(d=2, seed=85972)
+    exp = qmc.scale(qrng.random_base2(2), 0.995, 1.005)[:4]
+    np.testing.assert_array_equal(rv, exp)
+
+
+def test_experiment_end_to_end(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    p = base_params(N=32, ntmax=25)
+    p.file_id = 'exp-test'
+    p.yaml = True
+    p.export_csv = 'U,E2'
+    p.compress_csv = False
+    ep = ExperimentParams()
+    ep.runs = 2
+    ep.A_seed = 85972
+    results = run_experiment_batch(p, ep, progress=False)
+    assert len(results) == 2
+    df_results, df_agg = aggregate_results(results, p.file_id)
+    assert (tmp_path / 'exp-test-results.csv').exists()
+    assert (tmp_path / 'exp-test-results-agg.csv').exists()
+    assert (tmp_path / 'exp-test-run0.solution.yaml').exists()
+    assert (tmp_path / 'exp-test-run1.solution.U.csv').exists()
+    assert (tmp_path / 'exp-test-run0.solution.E2.csv').exists()
+    assert df_results.shape[0] == 2
+    assert 'cv' in df_agg.index
