@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark entry point for the driver.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: Cahn-Hilliard timesteps/sec on one chip at N=4096 (float32 fast
+mode, full_sim).  Baseline: the reference chsimpy solver measured on this
+container's CPU at N=4096 = 0.1387 steps/s (see BASELINE.md / SURVEY.md §6;
+measured via examples/benchmark.py protocol: scipy.fftpack, BLAS pinned to
+one thread by the reference itself).
+
+Detail lines (per-size sweep) go to stderr; stdout carries only the JSON.
+"""
+
+import json
+import sys
+import time
+
+REF_CPU_N4096_STEPS_PER_S = 0.1387   # measured in this container
+REF_CPU_N512_STEPS_PER_S = 34.47     # measured in this container
+
+
+def bench_size(N, precision, nsteps, chunk_size=1024):
+    import chsimpy_tpu as ct
+    from chsimpy_tpu.core.solver import Solver
+    p = ct.Parameters()
+    p.N = N
+    p.ntmax = nsteps
+    p.no_gui = True
+    p.update_every = None
+    p.full_sim = True
+    p.precision = precision
+    p.chunk_size = chunk_size
+    p.generator = 'lcg'
+    p.kappa_tilde = 2.98911291966116e-4  # default-config value; skips sympy
+    solver = Solver(p)
+    # warmup: compile + first chunk
+    solver.prepare()
+    solver.solve_or_resume(min(nsteps, 64))
+    # timed
+    solver.prepare()
+    t0 = time.time()
+    sol = solver.solve_or_resume(nsteps)
+    dt = time.time() - t0
+    steps = sol.computed_steps - 1
+    return steps / dt, steps, dt
+
+
+def main():
+    import jax
+    backend = jax.default_backend()
+    detail = {'backend': backend}
+
+    sweep = [(512, 'float32', 2000), (4096, 'float32', 256)]
+    rate_4096 = None
+    for N, prec, nsteps in sweep:
+        try:
+            rate, steps, dt = bench_size(N, prec, nsteps)
+        except Exception as e:  # pragma: no cover
+            print(f"bench N={N} {prec} failed: {e}", file=sys.stderr)
+            continue
+        detail[f'N{N}_{prec}'] = round(rate, 3)
+        print(f"N={N} {prec}: {rate:.2f} steps/s ({steps} steps in {dt:.2f}s)",
+              file=sys.stderr)
+        if N == 4096:
+            rate_4096 = rate
+
+    if rate_4096 is None:
+        print(json.dumps({'metric': 'ch_steps_per_s_N4096_chip',
+                          'value': 0.0, 'unit': 'steps/s',
+                          'vs_baseline': 0.0, 'error': 'bench failed',
+                          'detail': detail}))
+        return 1
+
+    print(json.dumps({
+        'metric': 'ch_steps_per_s_N4096_chip',
+        'value': round(rate_4096, 3),
+        'unit': 'steps/s',
+        'vs_baseline': round(rate_4096 / REF_CPU_N4096_STEPS_PER_S, 2),
+        'detail': detail,
+    }))
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -116,9 +116,11 @@ def _nonlinear_term(cfg: StepConfig, consts, U):
             - 2.0 * A1 * U * Uinv)
 
 
-def _stats(cfg: StepConfig, consts, U, EnergieEut):
+def _stats(cfg: StepConfig, consts, U, EnergieEut=None):
     """Energy functionals and field statistics (solver.py:213-228).
-    Returns f64 scalars (row entries) regardless of field dtype."""
+    Returns f64 scalars (row entries) regardless of field dtype.
+    ``EnergieEut=None`` (prepare path) yields L2 = 0 without materializing a
+    zeros array (a large HLO constant compiles pathologically on TPU)."""
     N = cfg.N
     dtype = U.dtype
     A0 = consts['A0'].astype(dtype)
@@ -134,7 +136,10 @@ def _stats(cfg: StepConfig, consts, U, EnergieEut):
         + (A0 + A1 * (Uinv - U)) * U * Uinv) + E2
     Um = U - jnp.mean(U)
     PS = jnp.sum(jnp.abs(Um)) / (N ** 2)
-    L2 = jnp.sqrt(jnp.sum(EnergieEut * EnergieEut)) / (N ** 2)
+    if EnergieEut is None:
+        L2 = jnp.asarray(0.0, dtype)
+    else:
+        L2 = jnp.sqrt(jnp.sum(EnergieEut * EnergieEut)) / (N ** 2)
     mid = U[N // 2 + 1, :]
     Ra = jnp.mean(jnp.abs(mid - jnp.mean(mid)))
     SA = jnp.sum((U < cfg.threshold).astype(U.dtype)) / (N ** 2)
@@ -146,7 +151,7 @@ def _stats(cfg: StepConfig, consts, U, EnergieEut):
 def prepare_row0(cfg: StepConfig, consts, U):
     """Step-0 energies for prepare() (solver.py:96-116): SA=0, L2=0,
     domtime=0.  Returns (E, E2, Ra, PS) as f64 scalars."""
-    E, E2, PS, _, Ra, _ = _stats(cfg, consts, U, jnp.zeros_like(U))
+    E, E2, PS, _, Ra, _ = _stats(cfg, consts, U, None)
     return E, E2, Ra, PS
 
 
