@@ -1,0 +1,85 @@
+"""CLI surface tests: full reference flag parity + TPU flags + range checks
+and cross-flag errors (reference cli_parser.py:116-171)."""
+
+import pytest
+
+from chsimpy_tpu.cli import CLIParser
+
+
+def parse(argv):
+    return CLIParser().get_parameters(argv)
+
+
+def test_defaults():
+    p = parse([])
+    assert p.N == 512
+    assert p.ntmax == int(1e6)
+    assert p.seed == 2023
+    assert p.XXX == 0.875
+    assert p.delt == 3e-8
+    assert p.generator == 'uniform'
+    assert p.precision == 'float64'
+    assert p.temp == 923.15
+
+
+def test_all_sim_flags():
+    p = parse(['-N', '256', '-n', '500', '-z', '-a', '--cinit', '0.9',
+               '--threshold', '0.88', '--temperature', '900',
+               '--A0', '-140', '--A1', '-80', '-K', '0.0003',
+               '--dt', '1e-8', '-g', 'sobol', '-s', '7', '-j', '0.05'])
+    assert p.N == 256 and p.ntmax == 500
+    assert p.full_sim and p.adaptive_time
+    assert p.XXX == 0.9 and p.threshold == 0.88
+    assert p.temp == 900
+    assert p.A0_const == -140 and p.A1_const == -80
+    assert p.func_A0(900) == -140  # constant override ignores temperature
+    assert p.kappa_tilde == 0.0003
+    assert p.delt == 1e-8
+    assert p.generator == 'sobol' and p.seed == 7 and p.jitter == 0.05
+
+
+def test_output_flags():
+    p = parse(['--no-gui', '--png', '--yaml', '--export-csv', 'U,E2',
+               '-C', '-f', 'myrun', '--update-every', '50',
+               '--no-diagrams'])
+    assert p.no_gui and p.png and p.yaml
+    assert p.export_csv == 'U,E2' and p.compress_csv
+    assert p.file_id == 'myrun'
+    assert p.update_every == 50 and p.no_diagrams
+
+
+def test_tpu_flags():
+    p = parse(['--precision', 'float32', '--chunk-size', '256',
+               '--mesh', '2x4', '--jitter-backend', 'device'])
+    assert p.precision == 'float32'
+    assert p.chunk_size == 256
+    assert p.mesh_shape == (2, 4)
+    assert p.jitter_backend == 'device'
+
+
+@pytest.mark.parametrize('argv', [
+    ['--cinit', '0.5'],           # out of [0.85, 0.95]
+    ['--threshold', '0.99'],
+    ['--dt', '1e-5'],             # out of [1e-12, 1e-6]
+    ['--update-every', '1'],      # must be >= 2
+    ['--png-anim'],               # requires --update-every
+    ['--export-csv', ''],
+    ['-C'],                       # compress without export
+    ['--mesh', 'foo'],
+])
+def test_invalid_args_exit(argv):
+    with pytest.raises(SystemExit):
+        parse(argv)
+
+
+def test_parameter_file_overrides_cli(tmp_path):
+    import chsimpy_tpu as ct
+    p0 = ct.Parameters()
+    p0.N = 128
+    p0.seed = 42
+    f = tmp_path / 'params.yaml'
+    p0.yaml_export_scalars(str(f))
+    # reference semantics: the YAML file overrides CLI values
+    p = parse(['-N', '999', '-p', str(f)])
+    assert p.N == 128
+    assert p.seed == 42
