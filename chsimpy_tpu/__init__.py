@@ -19,7 +19,8 @@ _jax.config.update('jax_enable_x64', True)
 # expensive; cache them across processes/rounds
 _cache_dir = _os.environ.get(
     'CHSIMPY_TPU_COMPILE_CACHE',
-    _os.path.expanduser('~/.cache/chsimpy_tpu_xla'))
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                  '..', '.xla_cache'))
 if _cache_dir and _cache_dir.lower() != 'off':
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
