@@ -84,6 +84,10 @@ class CLIParser:
                            help='host = bit-exact RNG streamed per chunk; '
                                 'device = fast on-device threefry '
                                 '(not bit-exact with the reference)')
+        group.add_argument('--kernels', choices=['xla', 'pallas'],
+                           default='xla',
+                           help='Compute-path backend: XLA-fused ops or '
+                                'hand-tiled Pallas TPU kernels')
 
         group = parser.add_argument_group('Input')
         group.add_argument('-p', '--parameter-file',
@@ -158,6 +162,7 @@ class CLIParser:
         params.precision = args.precision
         params.chunk_size = args.chunk_size
         params.jitter_backend = args.jitter_backend
+        params.kernel_backend = args.kernels
         if args.mesh:
             try:
                 params.mesh_shape = tuple(

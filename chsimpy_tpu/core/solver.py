@@ -105,11 +105,15 @@ class Solver:
             full_sim=params.full_sim,
             jitter=params.jitter if jitter_on else None,
             jitter_mode=jitter_mode,
+            kernel_backend=params.kernel_backend,
         )
 
         # optional 2-D grid sharding over a device mesh
         self.mesh = None
         if params.mesh_shape is not None:
+            if params.kernel_backend == 'pallas':
+                raise ValueError("kernel_backend='pallas' does not support "
+                                 "grid sharding yet; use 'xla' with --mesh")
             from ..parallel.mesh import make_grid_mesh
             self.mesh = make_grid_mesh(params.mesh_shape)
 

@@ -72,6 +72,9 @@ class StepConfig:
     # jitter
     jitter: Optional[float] = None
     jitter_mode: str = 'none'   # none | stream | static | device
+    # kernel dispatch: 'xla' (default; XLA fuses the elementwise chains) or
+    # 'pallas' (hand-tiled kernels, float32 single-run path only)
+    kernel_backend: str = 'xla'
 
     @property
     def jdtype(self):
@@ -105,6 +108,11 @@ CONSTS_BATCH_AXES = {'C': None, 'leig': None, 'CHeig': 0, 'Seig': None,
 
 def _nonlinear_term(cfg: StepConfig, consts, U):
     """Shifted nonlinear chemical potential EnergieEut (solver.py:168-175)."""
+    if cfg.kernel_backend == 'pallas':
+        # pallas path bakes the (static) physics scalars; the vmapped
+        # ensemble (traced scalars) keeps the XLA path
+        from ..ops import pallas_kernels as pk
+        return pk.chemical_potential(U, cfg.RT, cfg.BRT, cfg.A0, cfg.A1)
     dtype = U.dtype
     A0 = consts['A0'].astype(dtype)
     A1 = consts['A1'].astype(dtype)
@@ -210,9 +218,15 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
     def proceed(state):
         C = consts['C']
         # semi-implicit spectral update, eq. (12) of Ghiass et al (2016)
-        hat_E = dct_ops.dct2(EnergieEut, C, constrain=constrain)
-        hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
-        U = dct_ops.idct2(hat_U, C, constrain=constrain)
+        if cfg.kernel_backend == 'pallas':
+            from ..ops import pallas_kernels as pk
+            hat_E = pk.dct2_pallas(EnergieEut, C)
+            hat_U = pk.spectral_update(state.hat_U, hat_E, Seig, CHeig)
+            U = pk.idct2_pallas(hat_U, C)
+        else:
+            hat_E = dct_ops.dct2(EnergieEut, C, constrain=constrain)
+            hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
+            U = dct_ops.idct2(hat_U, C, constrain=constrain)
 
         rng_key = state.rng_key
         if cfg.jitter_mode == 'stream' or cfg.jitter_mode == 'static':

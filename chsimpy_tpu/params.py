@@ -71,6 +71,7 @@ class Parameters:
     chunk_size: int = 1024            # device steps per host round-trip
     mesh_shape: Optional[tuple] = None  # e.g. (2, 4) for a 2-D ('x','y') grid mesh
     jitter_backend: str = 'host'      # host (bit-exact RNG) | device (threefry)
+    kernel_backend: str = 'xla'       # xla | pallas (hand-tiled TPU kernels)
 
     version: str = __version__
 

@@ -1,0 +1,87 @@
+"""Pallas kernels vs the XLA reference path (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.fftpack as scifft
+
+import chsimpy_tpu as ct
+from chsimpy_tpu.ops import dct as dct_ops
+from chsimpy_tpu.ops import pallas_kernels as pk
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    old = pk._INTERPRET
+    pk._INTERPRET = True
+    yield
+    pk._INTERPRET = old
+
+
+def test_chemical_potential_matches_xla():
+    rng = np.random.default_rng(0)
+    U = (0.875 + 0.01 * (rng.random((64, 64)) - 0.5)).astype(np.float32)
+    RT, BRT, A0, A1 = 7.676, 98.7, -151.26, -85.61
+    ours = np.asarray(pk.chemical_potential(jnp.asarray(U), RT, BRT, A0, A1))
+    Uinv = 1 - U
+    ref = (RT * np.log(U / Uinv) - BRT
+           + (A0 + A1 * (Uinv - U)) * (Uinv - U) - 2 * A1 * U * Uinv)
+    # the chain cancels ~1e2-magnitude terms down to ~0.3, so f32 op-order
+    # differences show up at ~100*eps absolute
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_spectral_update_matches_formula():
+    rng = np.random.default_rng(1)
+    h = rng.random((64, 64)).astype(np.float32)
+    e = rng.random((64, 64)).astype(np.float32)
+    s = rng.random((64, 64)).astype(np.float32)
+    c = (1 + rng.random((64, 64))).astype(np.float32)
+    out = np.asarray(pk.spectral_update(*map(jnp.asarray, (h, e, s, c))))
+    np.testing.assert_allclose(out, (h + s * e) / c, rtol=1e-6)
+
+
+@pytest.mark.parametrize('shape', [(64, 64), (128, 256)])
+def test_matmul_matches_numpy(shape):
+    rng = np.random.default_rng(2)
+    A = rng.random(shape).astype(np.float32)
+    B = rng.random((shape[1], 96)).astype(np.float32)
+    out = np.asarray(pk.matmul(jnp.asarray(A), jnp.asarray(B)))
+    np.testing.assert_allclose(out, A @ B, rtol=1e-5)
+
+
+def test_dct2_pallas_matches_scipy():
+    rng = np.random.default_rng(3)
+    U = rng.random((64, 64)).astype(np.float32)
+    C = dct_ops.dct_matrix(64, jnp.float32)
+    ours = np.asarray(pk.dct2_pallas(jnp.asarray(U), C))
+    ref = scifft.dctn(U.astype(np.float64), norm='ortho')
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-4)
+
+
+def test_solver_pallas_backend_matches_xla():
+    def run(backend):
+        p = ct.Parameters()
+        p.N = 32
+        p.ntmax = 25
+        p.no_gui = True
+        p.update_every = None
+        p.full_sim = True
+        p.generator = 'lcg'
+        p.precision = 'float32'
+        p.kernel_backend = backend
+        p.kappa_tilde = 2.98911291966116e-4
+        return ct.Simulator(p).solve()
+    ref = run('xla')
+    pal = run('pallas')
+    assert pal.computed_steps == ref.computed_steps
+    np.testing.assert_allclose(pal.U, ref.U, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(pal.timedata.E, ref.timedata.E, rtol=1e-6)
+
+
+def test_pallas_plus_mesh_rejected():
+    p = ct.Parameters()
+    p.kernel_backend = 'pallas'
+    p.mesh_shape = (2, 4)
+    with pytest.raises(ValueError):
+        ct.Solver(p)
