@@ -88,6 +88,12 @@ class CLIParser:
                            default='xla',
                            help='Compute-path backend: XLA-fused ops or '
                                 'hand-tiled Pallas TPU kernels')
+        group.add_argument('--matmul-precision',
+                           choices=['highest', 'high', 'default'],
+                           default='highest',
+                           help='MXU pass count for the float32 DCT matmuls '
+                                '(highest=6-pass bf16 ~f32; high=3-pass '
+                                '~2x faster)')
 
         group = parser.add_argument_group('Input')
         group.add_argument('-p', '--parameter-file',
@@ -163,6 +169,7 @@ class CLIParser:
         params.chunk_size = args.chunk_size
         params.jitter_backend = args.jitter_backend
         params.kernel_backend = args.kernels
+        params.matmul_precision = args.matmul_precision
         if args.mesh:
             try:
                 params.mesh_shape = tuple(

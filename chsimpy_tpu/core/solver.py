@@ -106,6 +106,7 @@ class Solver:
             jitter=params.jitter if jitter_on else None,
             jitter_mode=jitter_mode,
             kernel_backend=params.kernel_backend,
+            matmul_precision=params.matmul_precision,
         )
 
         # optional 2-D grid sharding over a device mesh

@@ -75,6 +75,16 @@ class StepConfig:
     # kernel dispatch: 'xla' (default; XLA fuses the elementwise chains) or
     # 'pallas' (hand-tiled kernels, float32 single-run path only)
     kernel_backend: str = 'xla'
+    # MXU precision for the DCT matmuls in float32 mode: 'highest' (6-pass
+    # bf16, ~f32 accuracy), 'high' (3-pass, ~2x faster), 'default' (1-pass
+    # bf16 — too lossy for the spectral update; exposed for experiments)
+    matmul_precision: str = 'highest'
+
+    @property
+    def mm_precision(self):
+        return {'highest': jax.lax.Precision.HIGHEST,
+                'high': jax.lax.Precision.HIGH,
+                'default': jax.lax.Precision.DEFAULT}[self.matmul_precision]
 
     @property
     def jdtype(self):
@@ -224,9 +234,11 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
             hat_U = pk.spectral_update(state.hat_U, hat_E, Seig, CHeig)
             U = pk.idct2_pallas(hat_U, C)
         else:
-            hat_E = dct_ops.dct2(EnergieEut, C, constrain=constrain)
+            prec = cfg.mm_precision
+            hat_E = dct_ops.dct2(EnergieEut, C, precision=prec,
+                                 constrain=constrain)
             hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
-            U = dct_ops.idct2(hat_U, C, constrain=constrain)
+            U = dct_ops.idct2(hat_U, C, precision=prec, constrain=constrain)
 
         rng_key = state.rng_key
         if cfg.jitter_mode == 'stream' or cfg.jitter_mode == 'static':

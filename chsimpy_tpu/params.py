@@ -72,6 +72,7 @@ class Parameters:
     mesh_shape: Optional[tuple] = None  # e.g. (2, 4) for a 2-D ('x','y') grid mesh
     jitter_backend: str = 'host'      # host (bit-exact RNG) | device (threefry)
     kernel_backend: str = 'xla'       # xla | pallas (hand-tiled TPU kernels)
+    matmul_precision: str = 'highest'  # highest | high | default (f32 mode)
 
     version: str = __version__
 
