@@ -90,10 +90,11 @@ class CLIParser:
                                 'hand-tiled Pallas TPU kernels')
         group.add_argument('--matmul-precision',
                            choices=['highest', 'high', 'default'],
-                           default='highest',
+                           default=None,
                            help='MXU pass count for the float32 DCT matmuls '
                                 '(highest=6-pass bf16 ~f32; high=3-pass '
-                                '~2x faster)')
+                                '~2x faster, same measured trace quality; '
+                                'default resolves per precision mode)')
 
         group = parser.add_argument_group('Input')
         group.add_argument('-p', '--parameter-file',

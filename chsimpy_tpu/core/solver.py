@@ -106,7 +106,8 @@ class Solver:
             jitter=params.jitter if jitter_on else None,
             jitter_mode=jitter_mode,
             kernel_backend=params.kernel_backend,
-            matmul_precision=params.matmul_precision,
+            matmul_precision=params.matmul_precision or (
+                'high' if params.precision == 'float32' else 'highest'),
         )
 
         # optional 2-D grid sharding over a device mesh

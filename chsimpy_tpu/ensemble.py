@@ -109,6 +109,8 @@ class EnsembleSolver:
             time_limit=time_limit, full_sim=params.full_sim,
             jitter=params.jitter if jitter_on else None,
             jitter_mode=jitter_mode,
+            matmul_precision=params.matmul_precision or (
+                'high' if params.precision == 'float32' else 'highest'),
         )
 
         self.chunk_size = max(1, int(params.chunk_size))

@@ -72,7 +72,10 @@ class Parameters:
     mesh_shape: Optional[tuple] = None  # e.g. (2, 4) for a 2-D ('x','y') grid mesh
     jitter_backend: str = 'host'      # host (bit-exact RNG) | device (threefry)
     kernel_backend: str = 'xla'       # xla | pallas (hand-tiled TPU kernels)
-    matmul_precision: str = 'highest'  # highest | high | default (f32 mode)
+    # MXU pass count for f32 DCT matmuls; None resolves to 'high' in float32
+    # mode (measured: same trace quality as 'highest' at ~1.8x speed) and
+    # 'highest' in float64 mode
+    matmul_precision: Optional[str] = None
 
     version: str = __version__
 
