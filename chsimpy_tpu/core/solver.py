@@ -209,6 +209,13 @@ class Solver:
         state = self._state
         # reference recomputes the spectral image at every (re)entry
         state = state.replace(hat_U=self._dct2(state.U, self._consts['C']))
+        if n_iters > 0:
+            # reference parity: the loop does not check a previous stop —
+            # re-entering after a stop continues the simulation
+            # (solver.py:165 runs regardless of solution.stop_reason)
+            state = state.replace(
+                stop_reason=jnp.asarray(state_mod.STOP_NONE, jnp.int32))
+            self.solution.stop_reason = 'None'
 
         while n_iters > 0 and self.solution.stop_reason == 'None':
             k = min(n_iters, self.chunk_size)

@@ -224,6 +224,11 @@ class EnsembleSolver:
             hat_U=jax.jit(jax.vmap(dct_ops.dct2,
                                    in_axes=(0, None)))(states.U,
                                                        self._consts['C']))
+        if n_iters > 0:
+            # reference parity: re-entry after a stop continues each member
+            states = states.replace(
+                stop_reason=jnp.zeros_like(states.stop_reason))
+            self._stop = np.zeros(self.R, dtype=np.int64)
 
         while n_iters > 0 and np.any(self._stop == STOP_NONE):
             k = min(n_iters, self.chunk_size)
