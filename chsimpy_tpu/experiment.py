@@ -161,7 +161,8 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
                             rand_values[:, 1] * A1_base], axis=1)
         facs = rand_values
     else:
-        A_pairs = np.asarray(A_list, dtype=np.float64)
+        # reference caps file-sourced runs at --runs (experiment.py:205-209)
+        A_pairs = np.asarray(A_list, dtype=np.float64)[:exp_params.runs]
         facs = np.full_like(A_pairs, np.nan)
 
     nr_items = A_pairs.shape[0]

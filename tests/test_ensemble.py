@@ -152,3 +152,29 @@ def test_experiment_end_to_end(tmp_path, monkeypatch):
     assert (tmp_path / 'exp-test-run0.solution.E2.csv').exists()
     assert df_results.shape[0] == 2
     assert 'cv' in df_agg.index
+
+
+def test_experiment_A_file_source(tmp_path, monkeypatch):
+    """--A-source=<file>: explicit (A0, A1) pairs from CSV."""
+    monkeypatch.chdir(tmp_path)
+    import chsimpy_tpu.experiment as exp
+    from chsimpy_tpu.io import csvio
+    p = base_params(N=16, ntmax=10)
+    p.file_id = 'afile'
+    p.yaml = False
+    p.export_csv = None
+    A0 = material.A0(p.temp)
+    A1 = material.A1(p.temp)
+    pairs = np.array([[A0, A1], [A0 * 1.01, A1 * 0.99]])
+    f = tmp_path / 'alist.csv'
+    csvio.csv_export_matrix(pairs, str(f))
+    ep = ExperimentParams()
+    ep.runs = 2
+    A_list = csvio.csv_import_matrix(str(f))
+    results = exp.run_experiment_batch(p, ep, A_list=A_list, progress=False)
+    assert len(results) == 2
+    # A0/A1 taken verbatim from the file
+    np.testing.assert_allclose(results[0][0], A0, rtol=1e-12)
+    np.testing.assert_allclose(results[1][0], A0 * 1.01, rtol=1e-12)
+    # factors are undefined for file sources
+    assert results[0][10] is None
