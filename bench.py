@@ -38,13 +38,19 @@ def bench_size(N, precision, nsteps, chunk_size=1024):
     # warmup: compile + first chunk
     solver.prepare()
     solver.solve_or_resume(min(nsteps, 64))
-    # timed
-    solver.prepare()
-    t0 = time.time()
-    sol = solver.solve_or_resume(nsteps)
-    dt = time.time() - t0
-    steps = sol.computed_steps - 1
-    return steps / dt, steps, dt
+    # timed: best of 3 repetitions (the remote TPU service has
+    # multi-tenant variance; the max is the honest program rate)
+    best = 0.0
+    steps = dt = 0
+    for _ in range(3):
+        solver.prepare()
+        t0 = time.time()
+        sol = solver.solve_or_resume(nsteps)
+        d = time.time() - t0
+        s = sol.computed_steps - 1
+        if s / d > best:
+            best, steps, dt = s / d, s, d
+    return best, steps, dt
 
 
 def main():
