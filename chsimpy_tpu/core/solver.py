@@ -174,7 +174,7 @@ class Solver:
         if self.mesh is not None:
             from ..parallel.sharding import shard_state
             self._state = shard_state(self._state, self.mesh)
-        self.solution.U = np.asarray(U0)
+        self.solution.U = U0
         self.solution.timedata = data
         self.solution.tau0 = 0.0
         self.solution.t0 = 0.0
@@ -226,7 +226,11 @@ class Solver:
             state = self._sync(state)
 
         self._state = state
-        self.solution.U = np.asarray(state.U)
+        # keep U as the device array: pulling it to the host costs a full
+        # field transfer (67 MB at N=4096 — seconds over a tunnel) and most
+        # callers (benchmarks, chunked drivers) never read it.  NumPy
+        # consumers convert implicitly via __array__ on first use.
+        self.solution.U = state.U
         return self.solution
 
     def _sync(self, state: SolverState) -> SolverState:

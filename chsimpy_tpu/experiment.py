@@ -145,8 +145,8 @@ def export_member(params, sol: Solution, file_id: str):
         fext = 'csv.bz2' if params.compress_csv else 'csv'
         for member in params.export_csv.replace(' ', '').split(','):
             varray = getattr(sol, member, None)
-            if isinstance(varray, np.ndarray):
-                csvio.csv_export_matrix(varray,
+            if varray is not None and getattr(varray, 'ndim', 0) >= 1:
+                csvio.csv_export_matrix(np.asarray(varray),
                                         fname=f"{fname_sol}.{member}.{fext}")
 
 

@@ -147,9 +147,11 @@ class Simulator:
             fext = 'csv.bz2' if self.params.compress_csv else 'csv'
             for member in export_csv.replace(' ', '').split(','):
                 varray = getattr(solution, member, None)
-                if isinstance(varray, np.ndarray):
+                # accept numpy arrays and device (jax) arrays alike
+                if varray is not None and getattr(varray, 'ndim', 0) >= 1:
                     csvio.csv_export_matrix(
-                        varray, fname=f"{fname_sol}.{member}.{fext}")
+                        np.asarray(varray),
+                        fname=f"{fname_sol}.{member}.{fext}")
         return fname_sol
 
     def render(self):

@@ -66,7 +66,7 @@ class Solution:
                 v = float(v)
             if isinstance(v, np.integer):
                 v = int(v)
-            if isinstance(v, np.ndarray):
+            if getattr(v, 'ndim', None):  # numpy or device arrays
                 continue
             out[k] = v
         return out
