@@ -1,9 +1,24 @@
 #!/usr/bin/env python
-"""CLI entry point (reference ``chsimpy/__main__.py:8-29``)."""
+"""``python -m chsimpy_tpu`` — single-run CLI entry point.
+
+Parse flags, run the simulation (with live view unless ``--no-gui``),
+render/export artifacts, print the run summary."""
+
+from __future__ import annotations
 
 from . import sysinfo
 from .cli import CLIParser
 from .simulator import Simulator
+
+
+def _summarize(simulator: Simulator, solution) -> str:
+    t0_human = sysinfo.sec_to_min_if(solution.t0)
+    lines = [f"computed_steps = {solution.computed_steps}, "
+             f"t0 = {solution.t0:g} s ({t0_human}), "
+             f"stop reason = {solution.stop_reason}"]
+    if simulator.export_requested():
+        lines.append(f"File ID = {simulator.solution_file_id}")
+    return "\n".join(lines)
 
 
 def main():
@@ -16,11 +31,7 @@ def main():
     solution = simulator.solve()
     simulator.render()
     simulator.export()
-    print(f"computed_steps = {solution.computed_steps}, "
-          f"t0 = {solution.t0:g} s ({sysinfo.sec_to_min_if(solution.t0)}), "
-          f"stop reason = {solution.stop_reason}")
-    if simulator.export_requested():
-        print(f"File ID = {simulator.solution_file_id}")
+    print(_summarize(simulator, solution))
     if simulator.gui_requested():
         simulator.view.show(block=True)
     parser.parser.exit()

@@ -1,13 +1,16 @@
 """Run orchestrator: parameters -> solver -> views -> export.
 
-Mirrors the reference ``Simulator`` (``chsimpy/simulator.py:11-178``)
-including the live-view chunked solve loop (``--update-every``), PNG/anim
-rendering and the CSV/YAML export dispatch.  Differences by design:
+Covers the reference Simulator's responsibilities
+(``chsimpy/simulator.py:11-178``): wiring Parameters into the Solver,
+driving either a single device solve or the live-view chunked loop
+(``--update-every``), pushing trace data into the views, and dispatching
+the YAML/CSV/PNG exports.  Design differences:
 
-* no BLAS-thread pinning (XLA owns on-chip parallelism; determinism comes
-  from a fixed op set, reference pinned BLAS to 1 thread simulator.py:12-14);
-* views import matplotlib lazily so headless/TPU-pod runs never touch a GUI
-  toolkit.
+* solves run in on-device chunks regardless; the live loop just chooses
+  the chunk boundary so each view refresh costs one host round trip;
+* no BLAS-thread pinning — XLA owns on-chip parallelism (the reference
+  pinned BLAS to one thread for reproducibility, simulator.py:12-14);
+* views import matplotlib lazily so headless runs never touch a GUI stack.
 """
 
 from __future__ import annotations
@@ -23,23 +26,26 @@ from .params import Parameters
 class Simulator:
     def __init__(self, params: Parameters = None, U_init=None):
         self.params = params if params is not None else Parameters()
-        params = self.params
-        if U_init is None and params.Uinit_file is not None:
-            U_init = csvio.csv_import_matrix(params.Uinit_file)
-        self.solver = Solver(params, U_init)
+        if U_init is None and self.params.Uinit_file is not None:
+            U_init = csvio.csv_import_matrix(self.params.Uinit_file)
+        self.solver = Solver(self.params, U_init)
         self.steps_total = 0
         self.solution_file_id = None
-        if self.gui_required():
-            if params.no_diagrams:
-                from .viz.mapview import MapView
-                self.view = MapView(params.N)
-            else:
-                from .viz.plotview import PlotView
-                self.view = PlotView(params.N, params.XXX)
-        else:
-            self.view = None
-            self.params.update_every = None  # nothing to update
+        self.view = self._make_view()
+        if self.view is None:
+            self.params.update_every = None  # nothing to refresh
 
+    def _make_view(self):
+        if not self.gui_required():
+            return None
+        if self.params.no_diagrams:
+            from .viz.mapview import MapView
+            return MapView(self.params.N)
+        from .viz.plotview import PlotView
+        return PlotView(self.params.N, self.params.XXX)
+
+    # ------------------------------------------------------------------
+    # solving
     # ------------------------------------------------------------------
     def solve(self):
         self.solution_file_id = sysinfo.get_or_create_file_id(
@@ -48,104 +54,111 @@ class Simulator:
             self.solver.prepare()
         if self.params.update_every is None:
             return self.solver.solve_or_resume(self.params.ntmax)
+        return self._live_solve()
 
-        # live plotting: run in update_every-sized chunks
-        if self.gui_required():
-            self.view.prepare(show=self.gui_requested())
+    def _live_solve(self):
+        """Chunked solve with a view refresh (and optional PNG frame)
+        between chunks."""
+        view = self.view
+        view.prepare(show=self.gui_requested())
         if self.gui_requested():
-            self.view.imode_on()
-            self.view.show()
+            view.imode_on()
+            view.show()
         else:
-            self.view.imode_off()
+            view.imode_off()
 
-        part = 0
         steps_end = self.params.ntmax
         if self.params.time_max is not None and self.params.time_max > 0:
             steps_end = sysinfo.get_int_max_value()
         dsteps = min(steps_end, self.params.update_every)
         assert dsteps > 0
-        while ((self.steps_total + dsteps) <= steps_end
-               and (self.solver.solution.stop_reason == 'None'
-                    or self.params.full_sim is True)
-               and self.solver.solution.stop_reason != 'time-limit'):
+        part = 0
+        while self._live_should_continue(steps_end, dsteps):
             self.solver.solve_or_resume(dsteps)
             self._update_view()
-            self.view.draw()
+            view.draw()
             if self.params.png_anim:
-                fname = f"{self.solution_file_id}.{part:05d}.png"
-                self.view.render_to(fname)
+                view.render_to(f"{self.solution_file_id}.{part:05d}.png")
             self.steps_total += dsteps
             part += 1
-            diff = steps_end - self.steps_total
-            if 0 < diff < dsteps:
-                dsteps = diff
-            elif diff < 0:
+            remaining = steps_end - self.steps_total
+            if 0 < remaining < dsteps:
+                dsteps = remaining
+            elif remaining < 0:
                 raise RuntimeError("steps_end or ntmax is too low")
 
-        self.view.finish()
-        if self.solver.solution.tau0 == 0:
-            self.solver.solution.tau0 = self.solver.solution.computed_steps - 1
-            self.solver.solution.t0 = self.solver.time_passed
-        return self.solver.solution
+        view.finish()
+        solution = self.solver.solution
+        if solution.tau0 == 0:
+            # no energy fall happened: report the last step as tau0
+            solution.tau0 = solution.computed_steps - 1
+            solution.t0 = self.solver.time_passed
+        return solution
+
+    def _live_should_continue(self, steps_end, dsteps) -> bool:
+        stop = self.solver.solution.stop_reason
+        if stop == 'time-limit':
+            return False
+        if stop != 'None' and not self.params.full_sim:
+            return False
+        return (self.steps_total + dsteps) <= steps_end
 
     # ------------------------------------------------------------------
+    # view data
+    # ------------------------------------------------------------------
+    def _sim_time_total(self, solution) -> float:
+        td = solution.timedata
+        if td is None or len(td) == 0:
+            return (1 / self.params.M_tilde
+                    * (solution.computed_steps - 1) * self.params.delt)
+        return solution.domtime[-1] ** 3
+
     def _update_view(self):
-        view = self.view
         params = self.params
         solution = self.solver.solution
-        if solution.timedata is None or len(solution.timedata) == 0:
-            time_total = (1 / params.M_tilde
-                          * (solution.computed_steps - 1) * params.delt)
-        else:
-            time_total = solution.domtime[-1] ** 3
-        view.set_Umap(U=solution.U,
-                      threshold=params.threshold,
-                      title=f"U <> {params.threshold}, total time = "
-                            f"{sysinfo.sec_to_min_if(time_total)}, "
-                            f"steps = {solution.computed_steps}")
+        time_total = self._sim_time_total(solution)
+        self.view.set_Umap(
+            U=solution.U, threshold=params.threshold,
+            title=f"U <> {params.threshold}, total time = "
+                  f"{sysinfo.sec_to_min_if(time_total)}, "
+                  f"steps = {solution.computed_steps}")
         if params.no_diagrams:
-            return
+            return  # MapView renders only the field
 
-        view.set_Uline(U=solution.U, title='Slice at U(N/2,:)')
+        n = solution.computed_steps
+        self.view.set_Uline(U=solution.U, title='Slice at U(N/2,:)')
         if params.adaptive_time:
-            view.set_Eline_delt(E=solution.E,
-                                it_range=solution.it_range,
-                                delt=solution.delt,
-                                title='Total Energy',
-                                computed_steps=solution.computed_steps)
+            self.view.set_Eline_delt(E=solution.E, it_range=solution.it_range,
+                                     delt=solution.delt,
+                                     title='Total Energy', computed_steps=n)
         else:
-            view.set_Eline(E=solution.E,
-                           it_range=solution.it_range,
-                           title='Total Energy',
-                           computed_steps=solution.computed_steps)
-        view.set_SAlines(domtime=solution.domtime,
-                         SA=solution.SA,
-                         title=f"Area of high silica "
-                               f"(U <> {params.threshold})",
-                         computed_steps=solution.computed_steps,
-                         x2=time_total ** (1 / 3),
-                         t0=solution.t0)
-        view.set_E2line(E2=solution.E2,
-                        it_range=solution.it_range,
-                        title=f"Surf.Energy | Separation t0 = "
-                              f"{sysinfo.sec_to_min_if(solution.t0)}",
-                        computed_steps=solution.computed_steps,
-                        tau0=solution.tau0,
-                        t0=solution.t0)
-        view.set_Uhist(solution.U, "Solution Histogram")
+            self.view.set_Eline(E=solution.E, it_range=solution.it_range,
+                                title='Total Energy', computed_steps=n)
+        self.view.set_SAlines(
+            domtime=solution.domtime, SA=solution.SA,
+            title=f"Area of high silica (U <> {params.threshold})",
+            computed_steps=n, x2=time_total ** (1 / 3), t0=solution.t0)
+        self.view.set_E2line(
+            E2=solution.E2, it_range=solution.it_range,
+            title=f"Surf.Energy | Separation t0 = "
+                  f"{sysinfo.sec_to_min_if(solution.t0)}",
+            computed_steps=n, tau0=solution.tau0, t0=solution.t0)
+        self.view.set_Uhist(solution.U, "Solution Histogram")
 
+    # ------------------------------------------------------------------
+    # artifacts
     # ------------------------------------------------------------------
     def export(self):
         fname_sol = f"{self.solution_file_id}.solution"
         solution = self.solver.solution
-        export_csv = self.params.export_csv
 
         if self.params.yaml:
             solution.yaml_export_scalars(fname=fname_sol + '.yaml')
 
-        if export_csv is not None:
+        members = self.params.export_csv
+        if members is not None:
             fext = 'csv.bz2' if self.params.compress_csv else 'csv'
-            for member in export_csv.replace(' ', '').split(','):
+            for member in members.replace(' ', '').split(','):
                 varray = getattr(solution, member, None)
                 # accept numpy arrays and device (jax) arrays alike
                 if varray is not None and getattr(varray, 'ndim', 0) >= 1:
@@ -166,12 +179,15 @@ class Simulator:
             self.view.show(block=sysinfo.is_notebook())
         self.view.imode_default()
 
+    # ------------------------------------------------------------------
     def export_requested(self) -> bool:
-        return (self.params.export_csv is not None or self.params.yaml
-                or self.params.png or self.params.png_anim)
+        p = self.params
+        return bool(p.export_csv is not None or p.yaml or p.png
+                    or p.png_anim)
 
     def gui_requested(self) -> bool:
         return self.params.no_gui is False
 
     def gui_required(self) -> bool:
-        return self.params.png or self.params.png_anim or self.gui_requested()
+        return self.params.png or self.params.png_anim \
+            or self.gui_requested()
