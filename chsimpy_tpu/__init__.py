@@ -15,6 +15,20 @@ import jax as _jax
 # reference); fast mode selects float32 arrays per run via Parameters.precision.
 _jax.config.update('jax_enable_x64', True)
 
+def honor_jax_platforms_env():
+    """Re-apply the JAX_PLATFORMS environment variable via the config API.
+
+    Platform plugins (e.g. the axon TPU tunnel) can override the env-var
+    lookup, silently sending `JAX_PLATFORMS=cpu` runs to the TPU.  The CLI
+    entry points call this; library embedders keep full control of the jax
+    config (importing the package does NOT touch platform selection)."""
+    env_platforms = _os.environ.get('JAX_PLATFORMS')
+    if env_platforms:
+        try:
+            _jax.config.update('jax_platforms', env_platforms)
+        except Exception:
+            pass  # backend already initialized by the embedding process
+
 # persistent compilation cache: TPU compiles of the chunked while-loop are
 # expensive; cache them across processes/rounds
 _cache_dir = _os.environ.get(

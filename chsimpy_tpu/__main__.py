@@ -22,6 +22,8 @@ def _summarize(simulator: Simulator, solution) -> str:
 
 
 def main():
+    import chsimpy_tpu as _ct
+    _ct.honor_jax_platforms_env()
     parser = CLIParser()
     parser.print_info()
     params = parser.get_parameters()

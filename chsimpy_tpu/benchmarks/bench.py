@@ -87,6 +87,8 @@ def time_repetitions(simulator: Simulator, ntmax: int, repetitions: int,
 
 
 def main(argv=None):
+    import chsimpy_tpu as _ct
+    _ct.honor_jax_platforms_env()
     bmark_cliparser = BenchmarkCLIParser()
     bmark_cliparser.cliparser.print_info()
     bmark_params, params = bmark_cliparser.get_parameters(argv)

@@ -57,6 +57,8 @@ def ensemble_rate(params, nsteps: int, R: int, mesh=None) -> float:
 
 
 def main(argv=None):
+    import chsimpy_tpu as _ct
+    _ct.honor_jax_platforms_env()
     parser = argparse.ArgumentParser(prog='chsimpy-tpu-scaling')
     parser.add_argument('--axis', choices=['grid', 'ens'], default='grid')
     parser.add_argument('-N', type=int, default=2048)

@@ -213,6 +213,8 @@ def aggregate_results(results, file_id):
 
 
 def main(argv=None):
+    import chsimpy_tpu as _ct
+    _ct.honor_jax_platforms_env()
     exp_cliparser = ExperimentCLIParser()
     exp_cliparser.cliparser.print_info()
     exp_params, init_params = exp_cliparser.get_parameters(argv)
