@@ -1,14 +1,27 @@
 #!/usr/bin/env python
-"""Benchmark harness CLI.
+"""Benchmark CLI for the TPU engine.
 
-Mirrors the reference protocol (``examples/benchmark.py:23-123``): warmup
-repetitions + R timed repetitions of a full ``solve()`` (re-``prepare()``
-before each), then a CSV with sysinfo + timings.  TPU extensions: steps/s
-per chip, optional ``jax.profiler`` trace capture, device info in metadata.
+Own protocol (this framework's design, not the reference harness): a warmup
+phase compiles the chunked program and primes the persistent XLA cache, then
+R timed repetitions of a full ``solve()`` (state re-``prepare()``d before
+each so every rep integrates the same trajectory).  Each rep reports wall
+seconds and steps/s; the artifact is a single JSON document
+(``<file-id>.bench.json``) carrying host+device info, the exact run
+configuration, per-rep samples and the best/median rates — machine-readable
+for cross-round comparison (the driver-level ``bench.py`` at the repo root
+consumes the same engine through its own one-line metric).
+
+Functional coverage of the reference harness (``examples/benchmark.py``):
+warmups, timed repetitions, metadata capture, artifact export — surface and
+internals are this framework's own.  TPU extras: per-rep steps/s, optional
+``jax.profiler`` trace of the first timed rep, device topology in the
+artifact.
 """
 
 from __future__ import annotations
 
+import contextlib
+import json
 import time
 
 import numpy as np
@@ -18,126 +31,135 @@ from ..cli import CLIParser
 from ..simulator import Simulator
 
 
-class BenchmarkParams:
-    def __init__(self):
-        self.runs = 3
-        self.warmups = 1
-        self.warmup_ntmax = 100
-        self.profile_dir = None
+def parse_bench_args(argv=None):
+    """Build the bench CLI on top of the full simulation flag surface.
+
+    Returns ``(options dict, Parameters)``."""
+    cli = CLIParser('chsimpy-tpu (benchmark)')
+    group = cli.parser.add_argument_group('Benchmark')
+    group.add_argument('-R', '--runs', default=3, type=int,
+                       help='Number of timed repetitions')
+    group.add_argument('-w', '--warmups', default=1, type=int,
+                       help='Number of warmup repetitions (compile+cache)')
+    group.add_argument('-W', '--warmup-ntmax', type=int,
+                       help='Simulation steps per warmup repetition '
+                            '(default: ntmax)')
+    group.add_argument('--profile-dir',
+                       help='Capture a jax.profiler trace of the first '
+                            'timed rep into this directory')
+    params = cli.get_parameters(argv)
+    args = cli.args
+    params.no_gui = True
+    if args.runs < 1:
+        cli.parser.error('--runs must be at least 1')
+    if args.warmup_ntmax is not None and args.warmup_ntmax > params.ntmax:
+        cli.parser.error('--warmup-ntmax must not exceed ntmax')
+    if params.png or params.png_anim:
+        cli.parser.error('benchmarks run headless: drop --png/--png-anim')
+    opts = {
+        'runs': args.runs,
+        'warmups': args.warmups,
+        'warmup_ntmax': (args.warmup_ntmax if args.warmup_ntmax is not None
+                         else params.ntmax),
+        'profile_dir': args.profile_dir,
+    }
+    return opts, params
 
 
-class BenchmarkCLIParser:
-    def __init__(self):
-        self.cliparser = CLIParser('chsimpy-tpu (benchmark)')
-        group = self.cliparser.parser.add_argument_group('Benchmark')
-        group.add_argument('-R', '--runs', default=3, type=int,
-                           help='Number of timed repetitions')
-        group.add_argument('-w', '--warmups', default=1, type=int,
-                           help='Number of benchmark warmups')
-        group.add_argument('-W', '--warmup-ntmax', type=int,
-                           help='Simulation steps per warmup repetition')
-        group.add_argument('--profile-dir',
-                           help='Capture a jax.profiler trace of the first '
-                                'timed run into this directory')
-
-    def get_parameters(self, argv=None):
-        params = self.cliparser.get_parameters(argv)
-        bmark_params = BenchmarkParams()
-        args = self.cliparser.args
-        bmark_params.runs = args.runs
-        bmark_params.warmups = args.warmups
-        bmark_params.profile_dir = args.profile_dir
-        params.no_gui = True
-        if args.warmup_ntmax is not None:
-            bmark_params.warmup_ntmax = args.warmup_ntmax
-            if bmark_params.warmup_ntmax > params.ntmax:
-                self.cliparser.parser.error(
-                    'Warmup ntmax must be less or equal than ntmax')
-        else:
-            bmark_params.warmup_ntmax = params.ntmax
-        if bmark_params.runs < 1:
-            self.cliparser.parser.error('ERROR: --runs must be at least 1.')
-        if params.png or params.png_anim:
-            self.cliparser.parser.error(
-                'Visualization must be disabled when running benchmarks.')
-        return bmark_params, params
+@contextlib.contextmanager
+def _maybe_profile(profile_dir):
+    if profile_dir is None:
+        yield
+        return
+    import jax
+    with jax.profiler.trace(profile_dir):
+        yield
 
 
-def time_repetitions(simulator: Simulator, ntmax: int, repetitions: int,
-                     profile_dir=None):
-    """Reference protocol (``examples/benchmark.py:68-76``): re-prepare,
-    then time a full solve."""
-    tv_run = np.zeros(repetitions)
-    steps = np.zeros(repetitions, dtype=np.int64)
-    for i in range(repetitions):
+def measure_reps(simulator: Simulator, ntmax: int, reps: int,
+                 profile_dir=None) -> list:
+    """Time ``reps`` full solves of ``ntmax`` steps each; state is
+    re-prepared before each rep.  Returns one sample dict per rep."""
+    samples = []
+    for rep in range(reps):
         simulator.params.ntmax = ntmax
         simulator.solver.prepare()
-        ctx = None
-        if profile_dir is not None and i == 0:
-            import jax
-            ctx = jax.profiler.trace(profile_dir)
-            ctx.__enter__()
-        t1 = time.time()
-        simulator.solve()
-        tv_run[i] = time.time() - t1
-        if ctx is not None:
-            ctx.__exit__(None, None, None)
-        steps[i] = simulator.solver.solution.computed_steps - 1
-    return tv_run, steps
+        with _maybe_profile(profile_dir if rep == 0 else None):
+            t0 = time.perf_counter()
+            simulator.solve()
+            seconds = time.perf_counter() - t0
+        steps = simulator.solver.solution.computed_steps - 1
+        samples.append({
+            'rep': rep,
+            'seconds': round(seconds, 6),
+            'steps': int(steps),
+            'steps_per_s': round(steps / max(seconds, 1e-12), 3),
+        })
+    return samples
+
+
+def _rates(samples):
+    return np.array([s['steps_per_s'] for s in samples], dtype=np.float64)
 
 
 def main(argv=None):
     import chsimpy_tpu as _ct
     _ct.honor_jax_platforms_env()
-    bmark_cliparser = BenchmarkCLIParser()
-    bmark_cliparser.cliparser.print_info()
-    bmark_params, params = bmark_cliparser.get_parameters(argv)
+    opts, params = parse_bench_args(argv)
 
-    sysinfo_list = sysinfo.get_system_info()
-    bmark_params_list = sysinfo.vars_to_list(bmark_params)
-
-    ts_warmup = None
-    ts_runs = None
-    t1 = time.time()
+    wall_start = time.perf_counter()
     simulator = Simulator(params)
-    if bmark_params.warmups > 0:
-        ts_warmup, _ = time_repetitions(simulator,
-                                        ntmax=bmark_params.warmup_ntmax,
-                                        repetitions=bmark_params.warmups)
-        print(f"Warmup ({bmark_params.warmups} repetitions, "
-              f"ntmax={bmark_params.warmup_ntmax}):")
-        print(f" run/single: {ts_warmup} sec")
-        print(f" run/sum:  {sum(ts_warmup)} sec")
+    file_id = sysinfo.get_or_create_file_id(params.file_id)
 
-    steps_per_s = None
-    if bmark_params.runs > 0:
-        ts_runs, steps = time_repetitions(
-            simulator, ntmax=params.ntmax,
-            repetitions=bmark_params.runs,
-            profile_dir=bmark_params.profile_dir)
-        steps_per_s = steps / np.maximum(ts_runs, 1e-12)
-        print(f"Benchmark ({bmark_params.runs} repetitions, "
-              f"ntmax={params.ntmax}, time_max={params.time_max}):")
-        print(f" run/single: {ts_runs} sec")
-        print(f" run/sum:  {sum(ts_runs)} sec")
-        print(f" steps/s per rep: {steps_per_s}")
+    warmup_samples = []
+    if opts['warmups'] > 0:
+        warmup_samples = measure_reps(simulator, opts['warmup_ntmax'],
+                                      opts['warmups'])
+        print(f"[warmup] {opts['warmups']} rep(s) x "
+              f"{opts['warmup_ntmax']} steps: "
+              + ", ".join(f"{s['seconds']:.3f}s" for s in warmup_samples))
 
-    time_total = time.time() - t1
-    print(f"Benchmark Total: {time_total} sec")
-    file_id = simulator.solution_file_id or sysinfo.get_or_create_file_id(
-        params.file_id)
-    with open(f"{file_id}.csv", 'w') as f:
-        f.write("\n".join(sysinfo_list + bmark_params_list))
-        f.write("\n")
-        f.write(f"warmup,{ts_warmup}\n")
-        f.write(f"runs,{ts_runs}\n")
-        f.write(f"steps_per_s,{steps_per_s}\n")
-        f.write(f"total,{time_total}\n")
-    print('Output files:')
-    print(f"  results and meta data: {file_id}.csv")
+    timed_samples = measure_reps(simulator, params.ntmax, opts['runs'],
+                                 profile_dir=opts['profile_dir'])
+    rates = _rates(timed_samples)
+    for s in timed_samples:
+        print(f"[rep {s['rep']}] {s['steps']} steps in {s['seconds']:.3f}s "
+              f"-> {s['steps_per_s']:.2f} steps/s")
+    print(f"[summary] N={params.N} {params.precision}: "
+          f"best {rates.max():.2f} steps/s, "
+          f"median {np.median(rates):.2f} steps/s "
+          f"({time.perf_counter() - wall_start:.1f}s total)")
+
+    artifact = {
+        'schema': 'chsimpy-tpu-bench-v1',
+        'file_id': file_id,
+        'options': opts,
+        'config': {
+            'N': params.N, 'ntmax': params.ntmax,
+            'precision': params.precision,
+            'generator': params.generator, 'seed': params.seed,
+            'adaptive_time': params.adaptive_time,
+            'kernel_backend': params.kernel_backend,
+            'transform_backend': getattr(params, 'transform_backend', None),
+            'matmul_precision': params.matmul_precision,
+            'chunk_size': params.chunk_size,
+            'mesh_shape': params.mesh_shape,
+        },
+        'host': sysinfo.get_system_info(),
+        'devices': sysinfo.get_device_info(),
+        'warmup': warmup_samples,
+        'reps': timed_samples,
+        'steps_per_s': {
+            'best': float(rates.max()),
+            'median': float(np.median(rates)),
+            'mean': float(rates.mean()),
+        },
+    }
+    out = f"{file_id}.bench.json"
+    with open(out, 'w') as f:
+        json.dump(artifact, f, indent=1)
+    print(f"[artifact] {out}")
     simulator.export()
-    if simulator.export_requested():
-        print(f"  solution & parameters: {file_id}.csv")
 
 
 if __name__ == '__main__':

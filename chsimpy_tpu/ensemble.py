@@ -212,8 +212,17 @@ class EnsembleSolver:
         if nsteps is None:
             nsteps = max(self.params.ntmax, 0)
         computed = np.asarray(self._states.computed_steps)
-        # all members share entry semantics (same computed_steps when the
-        # ensemble is driven uniformly)
+        # entry semantics (fresh solve runs nsteps-1 iterations, a resume
+        # runs nsteps) are derived from member 0.  Per-member early stop
+        # makes computed_steps legitimately diverge *above* 1, but a mix of
+        # fresh (==1) and resumed (>1) members has no well-defined shared
+        # iteration count — guard the invariant rather than assume it.
+        fresh = computed == 1
+        if fresh.any() and not fresh.all():
+            raise AssertionError(
+                "ensemble members disagree on entry semantics: "
+                f"computed_steps={computed.tolist()} mixes fresh (==1) and "
+                "resumed members; re-run prepare() or resume all members")
         n_iters = nsteps - 1 if int(computed[0]) == 1 else nsteps
         n_iters = max(n_iters, 0)
 

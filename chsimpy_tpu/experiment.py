@@ -150,6 +150,15 @@ def export_member(params, sol: Solution, file_id: str):
                                         fname=f"{fname_sol}.{member}.{fext}")
 
 
+def render_member(params, sol: Solution, file_id: str):
+    """Per-run PNG render when ``--png`` is set (the reference renders every
+    experiment run, ``chsimpy/experiment.py:104-109``)."""
+    if not params.png:
+        return
+    from .simulator import render_solution_png
+    render_solution_png(params, sol, f"{file_id}.png")
+
+
 def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
                          mesh=None, progress=True):
     """Run the full ensemble; returns (results rows, file_id)."""
@@ -180,6 +189,9 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
         except ImportError:
             pass
     for start in iterator:
+        if hasattr(iterator, 'set_postfix'):
+            # progress memory readout (reference experiment.py:212-214)
+            iterator.set_postfix({'Mem': sysinfo.get_mem_usage_all()})
         stop = min(start + width, nr_items)
         batch_params = init_params.deepcopy()
         ens = EnsembleSolver(batch_params, A_pairs[start:stop],
@@ -191,6 +203,7 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
             rp = init_params.deepcopy()
             rp.file_id = f"{file_id}-run{run_id}"
             export_member(rp, sol, rp.file_id)
+            render_member(rp, sol, rp.file_id)
             fac0 = None if A_list is not None else facs[run_id, 0]
             fac1 = None if A_list is not None else facs[run_id, 1]
             results.append(postprocess_member(

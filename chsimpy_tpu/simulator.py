@@ -23,6 +23,71 @@ from .io import csvio
 from .params import Parameters
 
 
+def build_view(params: Parameters):
+    """View factory: full diagnostics panel unless ``--no-diagrams``."""
+    if params.no_diagrams:
+        from .viz.mapview import MapView
+        return MapView(params.N)
+    from .viz.plotview import PlotView
+    return PlotView(params.N, params.XXX)
+
+
+def solution_time_total(params: Parameters, solution) -> float:
+    """Total simulated seconds represented by a solution's trace."""
+    td = solution.timedata
+    if td is None or len(td) == 0:
+        return (1 / params.M_tilde
+                * (solution.computed_steps - 1) * params.delt)
+    return solution.domtime[-1] ** 3
+
+
+def push_solution_view(view, params: Parameters, solution,
+                       time_total: float) -> None:
+    """Populate a view's panels from a solution (any source: live solver,
+    ensemble member, imported trace)."""
+    view.set_Umap(
+        U=solution.U, threshold=params.threshold,
+        title=f"U <> {params.threshold}, total time = "
+              f"{sysinfo.sec_to_min_if(time_total)}, "
+              f"steps = {solution.computed_steps}")
+    if params.no_diagrams:
+        return  # MapView renders only the field
+
+    n = solution.computed_steps
+    view.set_Uline(U=solution.U, title='Slice at U(N/2,:)')
+    if params.adaptive_time:
+        view.set_Eline_delt(E=solution.E, it_range=solution.it_range,
+                            delt=solution.delt,
+                            title='Total Energy', computed_steps=n)
+    else:
+        view.set_Eline(E=solution.E, it_range=solution.it_range,
+                       title='Total Energy', computed_steps=n)
+    view.set_SAlines(
+        domtime=solution.domtime, SA=solution.SA,
+        title=f"Area of high silica (U <> {params.threshold})",
+        computed_steps=n, x2=time_total ** (1 / 3), t0=solution.t0)
+    view.set_E2line(
+        E2=solution.E2, it_range=solution.it_range,
+        title=f"Surf.Energy | Separation t0 = "
+              f"{sysinfo.sec_to_min_if(solution.t0)}",
+        computed_steps=n, tau0=solution.tau0, t0=solution.t0)
+    view.set_Uhist(solution.U, "Solution Histogram")
+
+
+def render_solution_png(params: Parameters, solution, fname: str) -> None:
+    """One-shot offscreen PNG of a finished solution (per-run experiment
+    renders, reference ``chsimpy/experiment.py:104-109``)."""
+    view = build_view(params)
+    view.imode_off()
+    push_solution_view(view, params, solution,
+                       solution_time_total(params, solution))
+    view.render_to(fname)
+    try:
+        view._plt.close(view.fig)
+    except Exception:
+        pass
+
+
 class Simulator:
     def __init__(self, params: Parameters = None, U_init=None):
         self.params = params if params is not None else Parameters()
@@ -38,11 +103,7 @@ class Simulator:
     def _make_view(self):
         if not self.gui_required():
             return None
-        if self.params.no_diagrams:
-            from .viz.mapview import MapView
-            return MapView(self.params.N)
-        from .viz.plotview import PlotView
-        return PlotView(self.params.N, self.params.XXX)
+        return build_view(self.params)
 
     # ------------------------------------------------------------------
     # solving
@@ -107,43 +168,12 @@ class Simulator:
     # view data
     # ------------------------------------------------------------------
     def _sim_time_total(self, solution) -> float:
-        td = solution.timedata
-        if td is None or len(td) == 0:
-            return (1 / self.params.M_tilde
-                    * (solution.computed_steps - 1) * self.params.delt)
-        return solution.domtime[-1] ** 3
+        return solution_time_total(self.params, solution)
 
     def _update_view(self):
-        params = self.params
         solution = self.solver.solution
-        time_total = self._sim_time_total(solution)
-        self.view.set_Umap(
-            U=solution.U, threshold=params.threshold,
-            title=f"U <> {params.threshold}, total time = "
-                  f"{sysinfo.sec_to_min_if(time_total)}, "
-                  f"steps = {solution.computed_steps}")
-        if params.no_diagrams:
-            return  # MapView renders only the field
-
-        n = solution.computed_steps
-        self.view.set_Uline(U=solution.U, title='Slice at U(N/2,:)')
-        if params.adaptive_time:
-            self.view.set_Eline_delt(E=solution.E, it_range=solution.it_range,
-                                     delt=solution.delt,
-                                     title='Total Energy', computed_steps=n)
-        else:
-            self.view.set_Eline(E=solution.E, it_range=solution.it_range,
-                                title='Total Energy', computed_steps=n)
-        self.view.set_SAlines(
-            domtime=solution.domtime, SA=solution.SA,
-            title=f"Area of high silica (U <> {params.threshold})",
-            computed_steps=n, x2=time_total ** (1 / 3), t0=solution.t0)
-        self.view.set_E2line(
-            E2=solution.E2, it_range=solution.it_range,
-            title=f"Surf.Energy | Separation t0 = "
-                  f"{sysinfo.sec_to_min_if(solution.t0)}",
-            computed_steps=n, tau0=solution.tau0, t0=solution.t0)
-        self.view.set_Uhist(solution.U, "Solution Histogram")
+        push_solution_view(self.view, self.params, solution,
+                           self._sim_time_total(solution))
 
     # ------------------------------------------------------------------
     # artifacts

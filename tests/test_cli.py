@@ -83,3 +83,32 @@ def test_parameter_file_overrides_cli(tmp_path):
     p = parse(['-N', '999', '-p', str(f)])
     assert p.N == 128
     assert p.seed == 42
+
+
+def test_cli_entry_honors_jax_platforms_env(tmp_path):
+    """Guardrail for honor_jax_platforms_env (chsimpy_tpu/__init__.py):
+    platform plugins (the axon TPU tunnel) override the JAX_PLATFORMS env
+    var, so CLI entries re-apply it via the config API.  A CLI run under
+    JAX_PLATFORMS=cpu must execute on the CPU backend — run in a subprocess
+    so this test owns backend initialization."""
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env.pop('XLA_FLAGS', None)
+    code = (
+        "import sys; sys.argv = ['chsimpy', '-n', '3', '-N', '16',"
+        " '--no-gui']\n"
+        "from chsimpy_tpu.__main__ import main\n"
+        "try:\n"
+        "    main()\n"
+        "except SystemExit:\n"
+        "    pass\n"
+        "import jax\n"
+        "print('BACKEND=' + jax.default_backend())\n")
+    out = subprocess.run([sys.executable, '-c', code], env=env,
+                         cwd=str(tmp_path), capture_output=True, text=True,
+                         timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert 'BACKEND=cpu' in out.stdout

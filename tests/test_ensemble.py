@@ -178,3 +178,40 @@ def test_experiment_A_file_source(tmp_path, monkeypatch):
     np.testing.assert_allclose(results[1][0], A0 * 1.01, rtol=1e-12)
     # factors are undefined for file sources
     assert results[0][10] is None
+
+
+def test_experiment_png_renders_per_run(tmp_path, monkeypatch):
+    """--png writes one PNG per experiment run (reference renders each
+    member, chsimpy/experiment.py:104-109)."""
+    monkeypatch.chdir(tmp_path)
+    p = base_params(N=32, ntmax=15)
+    p.file_id = 'pngexp'
+    p.yaml = False
+    p.export_csv = None
+    p.png = True
+    p.no_gui = True
+    ep = ExperimentParams()
+    ep.runs = 2
+    ep.A_seed = 85972
+    results = run_experiment_batch(p, ep, progress=False)
+    assert len(results) == 2
+    for r in range(2):
+        png = tmp_path / f'pngexp-run{r}.png'
+        assert png.exists() and png.stat().st_size > 1000
+
+
+def test_ensemble_mixed_entry_semantics_rejected():
+    """Fresh (computed_steps==1) and resumed members cannot share one
+    solve_or_resume call — the iteration-count semantics differ."""
+    import jax.numpy as jnp
+    p = base_params()
+    pairs = a_pairs(p, [(1.0, 1.0), (1.004, 0.997)])
+    ens = EnsembleSolver(p, pairs)
+    ens.prepare()
+    ens.solve_or_resume(5)
+    steps = np.asarray(ens._states.computed_steps).copy()
+    steps[0] = 1  # corrupt: member 0 looks fresh, member 1 resumed
+    ens._states = ens._states.replace(
+        computed_steps=jnp.asarray(steps))
+    with pytest.raises(AssertionError, match='entry semantics'):
+        ens.solve_or_resume(5)

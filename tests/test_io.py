@@ -126,3 +126,57 @@ def test_export_dispatch(tmp_path, monkeypatch):
         assert (tmp_path / f'exptest.solution.{m}.csv').exists()
     U = csvio.csv_import_matrix(str(tmp_path / 'exptest.solution.U.csv'))
     np.testing.assert_array_equal(U, sim.solver.solution.U)  # repr round-trip
+
+
+def _reference_solution_yaml_with_arrays(path, scalars, arrays):
+    """Write a Solution YAML in the reference's exact on-disk format for
+    array members: ``!ndarray`` block-literal scalars containing
+    ``np.array2string(data, separator=',', threshold=2147483647)``
+    (writer: ``chsimpy/utils.py:52-56`` via ruamel represent_scalar
+    style='|').  The reference never *emits* these itself (the representer
+    is defined but unregistered) — they come from external tooling — but
+    its importer accepts them (``chsimpy/utils.py:61-64,70-76``)."""
+    lines = ["--- !Solution"]
+    for k, v in scalars.items():
+        lines.append(f"{k}: {v}")
+    for name, arr in arrays.items():
+        text = np.array2string(arr, separator=',', threshold=2147483647)
+        lines.append(f"{name}: !ndarray |-")
+        lines.extend('  ' + ln for ln in text.split('\n'))
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_reference_solution_yaml_ndarray_roundtrip(tmp_path):
+    """End-to-end import of a reference-format Solution YAML whose U is a
+    full !ndarray field: parse, recover the matrix, and drive a simulation
+    from it as the initial field."""
+    N = 8
+    rng_np = np.random.default_rng(7)
+    # reference writer precision: np.array2string defaults to 8 significant
+    # digits, so round-trippable values must fit that budget
+    U = np.round(0.85 + 0.05 * rng_np.random((N, N)), 6)
+    E2 = np.round(rng_np.random(5), 6)
+    f = tmp_path / 'ref-solution.yaml'
+    _reference_solution_yaml_with_arrays(
+        f, {'computed_steps': 42, 'tau0': 17, 'stop_reason': 'energy',
+            't0': '!numpy.float64 12.5'},
+        {'U': U, 'E2': E2})
+    data = yamlio.import_scalars(str(f))
+    assert data['computed_steps'] == 42
+    assert data['stop_reason'] == 'energy'
+    assert data['t0'] == 12.5
+    np.testing.assert_array_equal(np.asarray(data['U']), U)
+    np.testing.assert_array_equal(np.asarray(data['E2']), E2)
+    # the recovered field drives a run (the reference's main use of array
+    # import: restart from a previously exported state)
+    p = ct.Parameters()
+    p.N = N
+    p.ntmax = 5
+    p.no_gui = True
+    p.update_every = None
+    p.full_sim = True
+    p.kappa_tilde = 2.98911291966116e-4
+    sol = ct.Simulator(p, U_init=np.asarray(data['U'])).solve()
+    assert sol.computed_steps == 5
+    np.testing.assert_allclose(float(np.mean(np.asarray(sol.U))),
+                               float(np.mean(U)), rtol=1e-10)
