@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""2-D DCT transform bake-off on the live backend.
+
+Times a jitted forward+inverse round trip (the per-step transform work of
+the CH stepper: ``idct2(update(dct2(x)))`` without the update) for each
+available route:
+
+* ``matmul-high``    — C·U·Cᵀ chains at ``Precision.HIGH`` (3-pass bf16)
+* ``matmul-highest`` — same at ``Precision.HIGHEST`` (6-pass bf16)
+* ``fft``            — Makhoul N-point rFFT route (``ops/dct.py``)
+* ``pallas``         — hand-tiled MXU matmul kernels (f32 only)
+
+Run on the real TPU to decide the default transform per (N, dtype); the
+winner feeds PERFORMANCE.md and ``StepConfig.transform_backend='auto'``.
+
+Timing protocol per CLAUDE.md: the remote backend's ``block_until_ready``
+does not flush, so every sample ends with a scalar readback; first call
+per shape is compile (excluded).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import dct as dct_ops
+
+
+INNER = 50  # chained round trips per dispatch: amortizes the remote-tunnel
+            # latency (~30 ms/dispatch here) out of the per-op figure
+
+
+def _roundtrip_fns(N, dtype):
+    """name -> jitted fn(x, C) -> x' running INNER chained forward+inverse
+    round trips on-device (one dispatch, like the solver's while_loop)."""
+    fns = {}
+
+    def chain(body, *extra):
+        # extra operands (e.g. split block trees) ride as jit ARGUMENTS —
+        # big closure constants compile pathologically on the TPU service
+        def f(x, C, *ex):
+            return jax.lax.fori_loop(
+                0, INNER, lambda i, y: body(y, C, *ex), x)
+        jitted = jax.jit(f)
+        if extra:
+            return lambda x, C: jitted(x, C, *extra)
+        return jitted
+
+    def mk_matmul(prec):
+        def body(x, C):
+            return dct_ops.idct2(dct_ops.dct2(x, C, precision=prec),
+                                 C, precision=prec)
+        return chain(body)
+
+    fns['matmul-high'] = mk_matmul(jax.lax.Precision.HIGH)
+    fns['matmul-highest'] = mk_matmul(jax.lax.Precision.HIGHEST)
+
+    fns['fft'] = chain(
+        lambda x, C: dct_ops.idct2_fft(dct_ops.dct2_fft(x)))
+
+    for lv in (1, 2, 3):
+        for pname, prec in (('high', jax.lax.Precision.HIGH),
+                            ('highest', jax.lax.Precision.HIGHEST)):
+            tree = dct_ops.split_tree(N, lv, dtype)
+
+            def body(x, C, tree, prec=prec):
+                return dct_ops.idct2_split(
+                    dct_ops.dct2_split(x, tree, precision=prec),
+                    tree, precision=prec)
+            fns[f'split{lv}-{pname}'] = chain(body, tree)
+
+    if jnp.dtype(dtype) == jnp.float32:
+        from ..ops import pallas_kernels as pk
+        fns['pallas'] = chain(
+            lambda x, C: pk.idct2_pallas(pk.dct2_pallas(x, C), C))
+    return fns
+
+
+def time_route(fn, x, C, reps):
+    """Median ms per round trip; forces a real readback each sample
+    (block_until_ready does not flush the remote backend)."""
+    r = fn(x, C)
+    float(r[0, 0])  # compile + first execute
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = fn(x, C)
+        float(r[0, 0])
+        samples.append((time.perf_counter() - t0) * 1e3 / INNER)
+    return float(np.median(samples)), float(np.min(samples))
+
+
+def accuracy_route(fn, x, C):
+    """Accumulated error vs the input after INNER chained round trips
+    (an exact transform pair returns x unchanged)."""
+    r = np.asarray(fn(x, C))
+    return float(np.max(np.abs(r - np.asarray(x))))
+
+
+def main(argv=None):
+    import chsimpy_tpu as _ct
+    _ct.honor_jax_platforms_env()
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument('--sizes', default='2048,4096,8192')
+    ap.add_argument('--dtypes', default='float32,float64')
+    ap.add_argument('--reps', type=int, default=10)
+    ap.add_argument('--out', default=None, help='write JSON results here')
+    args = ap.parse_args(argv)
+
+    backend = jax.default_backend()
+    print(f"# backend: {backend}, devices: {jax.devices()}")
+    results = []
+    for N in [int(s) for s in args.sizes.split(',')]:
+        for dtype in args.dtypes.split(','):
+            x = jnp.asarray(
+                np.random.default_rng(0).random((N, N)), dtype)
+            C = dct_ops.dct_matrix(N, dtype)
+            for name, fn in _roundtrip_fns(N, dtype).items():
+                try:
+                    med, best = time_route(fn, x, C, args.reps)
+                    err = accuracy_route(fn, x, C)
+                except Exception as e:
+                    print(f"N={N} {dtype} {name}: FAILED {type(e).__name__}:"
+                          f" {str(e)[:120]}")
+                    results.append({'N': N, 'dtype': dtype, 'route': name,
+                                    'error': str(e)[:200]})
+                    continue
+                print(f"N={N} {dtype} {name}: {med:.2f} ms median "
+                      f"({best:.2f} best), rt-err {err:.2e}")
+                results.append({'N': N, 'dtype': dtype, 'route': name,
+                                'ms_median': round(med, 3),
+                                'ms_best': round(best, 3),
+                                'roundtrip_err': err})
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump({'backend': backend, 'results': results}, f, indent=1)
+        print(f"# wrote {args.out}")
+
+
+if __name__ == '__main__':
+    main()

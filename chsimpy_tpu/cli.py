@@ -96,6 +96,12 @@ FLAGS = [
          'Compute-path backend: XLA-fused ops or hand-tiled Pallas TPU '
          'kernels', param='kernel_backend', choices=['xla', 'pallas'],
          default='xla'),
+    Flag(('--transform',), 'TPU',
+         '2-D DCT route: matmul (MXU, shards under --mesh), split '
+         '(folded matmul, ~1.5x faster on one chip at N>=1024), fft '
+         '(Makhoul rFFT); auto picks per precision/N/mesh',
+         param='transform_backend',
+         choices=['auto', 'matmul', 'split', 'fft'], default='auto'),
     Flag(('--matmul-precision',), 'TPU',
          'MXU pass count for the float32 DCT matmuls (highest=6-pass bf16 '
          '~f32; high=3-pass ~2x faster, same measured trace quality; '

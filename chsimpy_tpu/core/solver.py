@@ -32,9 +32,42 @@ from ..solution import Solution
 from ..timedata import TimeData
 from . import state as state_mod
 from .state import STOP_NAN, STOP_NONE, STOP_STRINGS, SolverState
-from .stepper import StepConfig, make_chunk_runner, make_consts, make_prepare
+from .stepper import (StepConfig, make_chunk_runner, make_consts,
+                      make_entry_dct2, make_prepare)
 
 _JITTER_BUF_BYTES = 64 << 20  # cap on the per-chunk host jitter pre-draw
+
+# measured crossover of the folded-matmul (split) route vs the plain MXU
+# matmul DCT on one v5e chip, float32 (benchmarks/dct_bench.py, table in
+# PERFORMANCE.md: split2-high 6.1 ms vs matmul-high 9.2 ms at N=4096)
+SPLIT_MIN_N = 1024
+
+
+def resolve_transform(params: Parameters) -> str:
+    """Resolve Parameters.transform_backend ('auto' allowed) to the
+    concrete route for this run ('matmul' | 'split' | 'fft')."""
+    tb = getattr(params, 'transform_backend', 'auto') or 'auto'
+    if tb == 'auto':
+        if params.mesh_shape is not None:
+            return 'matmul'  # sharded contraction: local matmul + collective
+        if (params.precision == 'float32' and params.N >= SPLIT_MIN_N
+                and params.N % 4 == 0):
+            return 'split'
+        return 'matmul'
+    if tb in ('fft', 'split'):
+        if params.mesh_shape is not None:
+            raise ValueError(
+                f"--transform {tb} does not shard under --mesh; the "
+                "distributed transform is the matmul route")
+        if params.N % 2:
+            raise ValueError(f"--transform {tb} requires even N "
+                             f"(got {params.N})")
+    if tb == 'fft' and (params.precision == 'float64'
+                        and jax.default_backend() == 'tpu'):
+        raise ValueError(
+            "float64 FFT needs complex128, which TPU does not "
+            "support; float64 validation mode uses --transform matmul")
+    return tb
 
 
 class Solver:
@@ -106,6 +139,7 @@ class Solver:
             jitter=params.jitter if jitter_on else None,
             jitter_mode=jitter_mode,
             kernel_backend=params.kernel_backend,
+            transform_backend=resolve_transform(params),
             matmul_precision=params.matmul_precision or (
                 'high' if params.precision == 'float32' else 'highest'),
         )
@@ -132,10 +166,11 @@ class Solver:
             self._consts = shard_consts(self._consts, self.mesh)
         self._run_chunk = make_chunk_runner(self.cfg, mesh=self.mesh)
         self._prepare_stats = make_prepare(self.cfg)
-        # NOTE: the DCT matrix is an *argument*, never a closure capture —
-        # large constants embedded in HLO compile pathologically slowly on
-        # the TPU compile service
-        self._dct2 = jax.jit(dct_ops.dct2)
+        # NOTE: the DCT matrix / block tree is an *argument*, never a
+        # closure capture — large constants embedded in HLO compile
+        # pathologically slowly on the TPU compile service.  The entry
+        # recompute uses the same transform route as the in-loop step.
+        self._dct2 = jax.jit(make_entry_dct2(self.cfg))
         self._state: Optional[SolverState] = None
         # placeholder so the runner signature is stable in all modes
         self._null_jbuf = jnp.zeros((), self.cfg.jdtype)
@@ -208,7 +243,7 @@ class Solver:
 
         state = self._state
         # reference recomputes the spectral image at every (re)entry
-        state = state.replace(hat_U=self._dct2(state.U, self._consts['C']))
+        state = state.replace(hat_U=self._dct2(state.U, self._consts))
         if n_iters > 0:
             # reference parity: the loop does not check a previous stop —
             # re-entering after a stop continues the simulation

@@ -75,6 +75,13 @@ class StepConfig:
     # kernel dispatch: 'xla' (default; XLA fuses the elementwise chains) or
     # 'pallas' (hand-tiled kernels, float32 single-run path only)
     kernel_backend: str = 'xla'
+    # DCT route (resolved, no 'auto' here; measured table in
+    # PERFORMANCE.md): 'matmul' (MXU C·U·Cᵀ; shards under a mesh),
+    # 'split' (folded-matmul decimation — ~1.5x the matmul at N>=1024 f32;
+    # single-device/ensemble paths), 'fft' (Makhoul rFFT; loses to the MXU
+    # on TPU, kept for CPU f64 and as a measured alternative)
+    transform_backend: str = 'matmul'
+    split_levels: int = 2       # fold depth of the 'split' route
     # MXU precision for the DCT matmuls in float32 mode: 'highest' (6-pass
     # bf16, ~f32 accuracy), 'high' (3-pass, ~2x faster), 'default' (1-pass
     # bf16 — too lossy for the spectral update; exposed for experiments)
@@ -105,15 +112,17 @@ def make_consts(cfg: StepConfig, delt: float,
     leig = coeffs_ops.eigenvalues(cfg.N, dtype)
     CHeig, Seig = coeffs_ops.get_coefficients(
         leig, jnp.asarray(kt, dtype), jnp.asarray(delt, dtype), cfg.delx2)
-    return {'C': C, 'leig': leig,
+    tree = (dct_ops.split_tree(cfg.N, cfg.split_levels, dtype)
+            if cfg.transform_backend == 'split' else ())
+    return {'C': C, 'leig': leig, 'tree': tree,
             'CHeig': CHeig.astype(dtype), 'Seig': Seig.astype(dtype),
             'A0': jnp.asarray(A0, jnp.float64),
             'A1': jnp.asarray(A1, jnp.float64),
             'kappa_tilde': jnp.asarray(kt, jnp.float64)}
 
 
-CONSTS_BATCH_AXES = {'C': None, 'leig': None, 'CHeig': 0, 'Seig': None,
-                     'A0': 0, 'A1': 0, 'kappa_tilde': 0}
+CONSTS_BATCH_AXES = {'C': None, 'leig': None, 'tree': None, 'CHeig': 0,
+                     'Seig': None, 'A0': 0, 'A1': 0, 'kappa_tilde': 0}
 
 
 def _nonlinear_term(cfg: StepConfig, consts, U):
@@ -233,6 +242,17 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
             hat_E = pk.dct2_pallas(EnergieEut, C)
             hat_U = pk.spectral_update(state.hat_U, hat_E, Seig, CHeig)
             U = pk.idct2_pallas(hat_U, C)
+        elif cfg.transform_backend == 'split':
+            prec = cfg.mm_precision
+            hat_E = dct_ops.dct2_split(EnergieEut, consts['tree'],
+                                       precision=prec, constrain=constrain)
+            hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
+            U = dct_ops.idct2_split(hat_U, consts['tree'],
+                                    precision=prec, constrain=constrain)
+        elif cfg.transform_backend == 'fft':
+            hat_E = dct_ops.dct2_fft(EnergieEut, constrain=constrain)
+            hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
+            U = dct_ops.idct2_fft(hat_U, constrain=constrain)
         else:
             prec = cfg.mm_precision
             hat_E = dct_ops.dct2(EnergieEut, C, precision=prec,
@@ -350,6 +370,18 @@ def make_ensemble_runner(cfg: StepConfig, mesh=None):
                     in_axes=(0, None, CONSTS_BATCH_AXES, None),
                     spmd_axis_name=spmd)
     return jax.jit(vrun, donate_argnums=(0,))
+
+
+def make_entry_dct2(cfg: StepConfig):
+    """(U, consts) -> spectral image of U via the configured transform
+    route (the reference recomputes hat_U at every API entry,
+    solver.py:159).  Entry runs at HIGHEST precision — once per entry,
+    accuracy is free here."""
+    if cfg.transform_backend == 'split':
+        return lambda U, consts: dct_ops.dct2_split(U, consts['tree'])
+    if cfg.transform_backend == 'fft':
+        return lambda U, consts: dct_ops.dct2_fft(U)
+    return lambda U, consts: dct_ops.dct2(U, consts['C'])
 
 
 def make_prepare(cfg: StepConfig):

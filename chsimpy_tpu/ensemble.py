@@ -22,10 +22,12 @@ import numpy as np
 
 from . import material
 from .core import state as state_mod
+from .core import solver as solver_mod
 from .core.solver import _JITTER_BUF_BYTES
 from .core.state import STOP_NAN, STOP_NONE, STOP_STRINGS
-from .core.stepper import (StepConfig, make_consts, make_ensemble_prepare,
-                           make_ensemble_runner)
+from .core import stepper as stepper_mod
+from .core.stepper import (CONSTS_BATCH_AXES, StepConfig, make_consts,
+                           make_ensemble_prepare, make_ensemble_runner)
 from .derived import Derived
 from .ops import coeffs as coeffs_ops
 from .ops import dct as dct_ops
@@ -109,6 +111,7 @@ class EnsembleSolver:
             time_limit=time_limit, full_sim=params.full_sim,
             jitter=params.jitter if jitter_on else None,
             jitter_mode=jitter_mode,
+            transform_backend=solver_mod.resolve_transform(params),
             matmul_precision=params.matmul_precision or (
                 'high' if params.precision == 'float32' else 'highest'),
         )
@@ -130,6 +133,7 @@ class EnsembleSolver:
         self._states = None
         self.timedatas = [TimeData() for _ in range(self.R)]
         self._solutions = None
+        self._replicate = None
 
     # ------------------------------------------------------------------
     def _build_consts(self):
@@ -148,7 +152,7 @@ class EnsembleSolver:
         # pathologically slowly on the TPU compile service
         CHeig_b = jax.jit(jax.vmap(member_coeffs,
                                    in_axes=(None, 0)))(leig, kts)
-        return {'C': base['C'], 'leig': leig,
+        return {'C': base['C'], 'leig': leig, 'tree': base['tree'],
                 'CHeig': CHeig_b, 'Seig': base['Seig'],
                 'A0': jnp.asarray(self.A0s),
                 'A1': jnp.asarray(self.A1s),
@@ -159,12 +163,31 @@ class EnsembleSolver:
             return tree
         from jax.sharding import NamedSharding, PartitionSpec as P
         ens = NamedSharding(self.mesh, P('ens'))
+        multi = jax.process_count() > 1
 
         def place(x):
             if hasattr(x, 'ndim') and x.ndim >= 1 and x.shape[0] == self.R:
+                if multi:
+                    # cross-process sharding: every process holds the full
+                    # host value and contributes its addressable shards
+                    xn = np.asarray(x)
+                    return jax.make_array_from_callback(
+                        xn.shape, ens, lambda idx: xn[idx])
                 return jax.device_put(x, ens)
             return x
         return jax.tree_util.tree_map(place, tree)
+
+    def _host_leaves(self, *leaves):
+        """NumPy views of state leaves.  Under multi-process execution the
+        leaves are sharded across processes, so replicate them first with a
+        jitted identity (an all-gather over 'ens' on the backend)."""
+        if self.mesh is not None and jax.process_count() > 1:
+            if self._replicate is None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                rep = NamedSharding(self.mesh, P())
+                self._replicate = jax.jit(lambda *t: t, out_shardings=rep)
+            leaves = self._replicate(*leaves)
+        return tuple(np.asarray(x) for x in leaves)
 
     # ------------------------------------------------------------------
     def prepare(self):
@@ -211,7 +234,7 @@ class EnsembleSolver:
         assert self._states is not None, "call prepare() first"
         if nsteps is None:
             nsteps = max(self.params.ntmax, 0)
-        computed = np.asarray(self._states.computed_steps)
+        computed, = self._host_leaves(self._states.computed_steps)
         # entry semantics (fresh solve runs nsteps-1 iterations, a resume
         # runs nsteps) are derived from member 0.  Per-member early stop
         # makes computed_steps legitimately diverge *above* 1, but a mix of
@@ -228,11 +251,13 @@ class EnsembleSolver:
 
         states = self._states
         # reference recomputes the spectral image at every (re)entry
-        # (C passed as argument — see member_coeffs note)
+        # (transform operands as arguments — see member_coeffs note); same
+        # transform route as the in-loop step
+        entry_dct2 = jax.jit(jax.vmap(
+            stepper_mod.make_entry_dct2(self.cfg),
+            in_axes=(0, CONSTS_BATCH_AXES)))
         states = states.replace(
-            hat_U=jax.jit(jax.vmap(dct_ops.dct2,
-                                   in_axes=(0, None)))(states.U,
-                                                       self._consts['C']))
+            hat_U=entry_dct2(states.U, self._consts))
         if n_iters > 0:
             # reference parity: re-entry after a stop continues each member
             states = states.replace(
@@ -250,9 +275,8 @@ class EnsembleSolver:
         return self.solutions()
 
     def _sync(self, states):
-        rows = np.asarray(states.rows)
-        stops = np.asarray(states.stop_reason)
-        bufs = np.asarray(states.rowbuf)
+        rows, stops, bufs = self._host_leaves(
+            states.rows, states.stop_reason, states.rowbuf)
         for r in range(self.R):
             if rows[r] > 0:
                 self.timedatas[r].insert_block(bufs[r, :rows[r]])
@@ -265,11 +289,9 @@ class EnsembleSolver:
     # ------------------------------------------------------------------
     def solutions(self) -> Sequence[Solution]:
         states = self._states
-        Us = np.asarray(states.U)
-        steps = np.asarray(states.computed_steps)
-        tau0s = np.asarray(states.tau0)
-        t0s = np.asarray(states.t0)
-        stops = np.asarray(states.stop_reason)
+        Us, steps, tau0s, t0s, stops = self._host_leaves(
+            states.U, states.computed_steps, states.tau0, states.t0,
+            states.stop_reason)
         sols = []
         for r in range(self.R):
             p = self.params.deepcopy()

@@ -105,8 +105,12 @@ def _ctype(dtype):
 
 
 def dct1d_fft(x: jnp.ndarray) -> jnp.ndarray:
-    """Orthonormal DCT-II along the last axis via one N-point rFFT."""
+    """Orthonormal DCT-II along the last axis via one N-point rFFT.
+    Even N only (the even-odd fold assumes it); the resolver falls back
+    to the matmul route for odd N."""
     N = x.shape[-1]
+    if N % 2:
+        raise ValueError(f"fft DCT route requires even N, got {N}")
     t, _, _ = _dct_fft_twiddles_np(N)
     th = jnp.asarray(t[:N // 2 + 1], _ctype(x.dtype))
     v = jnp.concatenate([x[..., ::2], x[..., 1::2][..., ::-1]], axis=-1)
@@ -120,20 +124,103 @@ def dct1d_fft(x: jnp.ndarray) -> jnp.ndarray:
 
 def idct1d_fft(X: jnp.ndarray) -> jnp.ndarray:
     """Orthonormal DCT-III (inverse of :func:`dct1d_fft`) along the last
-    axis via one N-point irFFT."""
+    axis via one N-point irFFT.  Even N only."""
     N = X.shape[-1]
+    if N % 2:
+        raise ValueError(f"fft DCT route requires even N, got {N}")
     _, ti, sh = _dct_fft_twiddles_np(N)
     ct = _ctype(X.dtype)
     ti = jnp.asarray(ti * sh, ct)  # combined unnormalize + twiddle
-    # Xu[k] - i*Xu[N-k] for k = 0..N/2 (Xu[N] == 0)
+    # Xu[k] - i*Xu[N-k] for k = 0..N/2 (Xu[N] == 0): the mirror term walks
+    # the upper half downward, b[k] = Xu[N-k] = [0, Xu[N-1], .., Xu[N/2]]
     a = X[..., :N // 2 + 1]
     b = jnp.concatenate([jnp.zeros_like(X[..., :1]),
-                         X[..., 1:N // 2 + 1][..., ::-1]], axis=-1)
+                         X[..., N // 2:][..., ::-1]], axis=-1)
     Vh = ti * (a - 1j * b.astype(ct))
     v = jnp.fft.irfft(Vh, n=N, axis=-1).astype(X.dtype)
     half = v[..., :N // 2]
     rev = v[..., N // 2:][..., ::-1]
     return jnp.stack([half, rev], axis=-1).reshape(X.shape)
+
+
+# ----------------------------------------------------------------------
+# Split (folded) matmul route: decimation-in-frequency on the MXU.
+#
+# The DCT-II matrix C has cosine symmetry: even output rows are symmetric
+# in n (C[2m, n] == C[2m, N-1-n]), odd rows antisymmetric.  Folding the
+# input, u = x + reverse(x), v = x - reverse(x) (first halves), gives
+#     X[2m]   = A @ u,   A = C[0::2, :N/2]
+#     X[2m+1] = B @ v,   B = C[1::2, :N/2]
+# — two (N/2, N/2) matmuls instead of one (N, N): HALF the MXU FLOPs for
+# two cheap VPU folds.  A is itself a scaled DCT-II(N/2) with the same
+# symmetry, so the even branch folds again (levels=2: 3/8 of the FLOPs);
+# B lacks the symmetry (its fold is sine-type), so recursion stops there.
+# Inverse: the exact transpose, X_e/X_o de-interleave -> A^T/B^T matmuls
+# -> unfold x = [(u+v)/2 ; reverse(u-v)/2].
+# ----------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _split_tree_np(N: int, levels: int):
+    """Nested block tree for `levels` folds: a leaf is a plain matrix, a
+    node is (even_subtree, B).  Blocks are exact sub-matrices of the f64
+    orthonormal DCT-II matrix; block rows have norm 1/sqrt(2) per level,
+    which makes the structured transpose the exact inverse (no rescale)."""
+    C = _dct_matrix_np(N)
+
+    def rec(M, lv):
+        n = M.shape[1]
+        if lv == 0 or n % 2:
+            return M
+        return (rec(M[0::2, :n // 2], lv - 1), M[1::2, :n // 2])
+
+    return rec(C, levels)
+
+
+def split_tree(N: int, levels: int, dtype=jnp.float64):
+    """Device block tree (pass as an argument, never a closure constant)."""
+    def conv(t):
+        if isinstance(t, tuple):
+            return (conv(t[0]), conv(t[1]))
+        return jnp.asarray(t, dtype)
+    return conv(_split_tree_np(N, levels))
+
+
+def _apply_split(tree, x, precision):
+    """C_block @ x, contracting over axis 0 (x: (n, M))."""
+    if not isinstance(tree, tuple):
+        return jnp.matmul(tree, x, precision=precision)
+    n = x.shape[0]
+    top, bot = x[:n // 2], x[n // 2:][::-1]
+    even = _apply_split(tree[0], top + bot, precision)
+    odd = jnp.matmul(tree[1], top - bot, precision=precision)
+    # interleave rows [e0, o0, e1, o1, ...]
+    return jnp.stack([even, odd], axis=1).reshape(n, x.shape[1])
+
+
+def _apply_split_t(tree, y, precision):
+    """C_block^T @ y (the exact inverse of :func:`_apply_split`)."""
+    if not isinstance(tree, tuple):
+        return jnp.matmul(tree.T, y, precision=precision)
+    u = _apply_split_t(tree[0], y[0::2], precision)
+    v = jnp.matmul(tree[1].T, y[1::2], precision=precision)
+    return jnp.concatenate([u + v, (u - v)[::-1]], axis=0)
+
+
+def dct2_split(U, tree, precision=jax.lax.Precision.HIGHEST,
+               constrain=lambda x: x):
+    """Orthonormal 2-D DCT-II via the folded-matmul blocks (half the MXU
+    FLOPs per fold level vs :func:`dct2`)."""
+    X = _apply_split(tree, U, precision)
+    return _apply_split(tree, constrain(X).T, precision).T
+
+
+def idct2_split(X, tree, precision=jax.lax.Precision.HIGHEST,
+                constrain=lambda x: x):
+    """Orthonormal 2-D DCT-III, exact structured transpose of
+    :func:`dct2_split`."""
+    U = _apply_split_t(tree, X, precision)
+    return _apply_split_t(tree, constrain(U).T, precision).T
 
 
 def dct2_fft(U: jnp.ndarray, constrain=lambda x: x) -> jnp.ndarray:

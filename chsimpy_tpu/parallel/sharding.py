@@ -21,7 +21,9 @@ def shard_consts(consts: dict, mesh: Mesh) -> dict:
     rep = replicated(mesh)
     out = {}
     for k, v in consts.items():
-        if v.ndim == 2 and k != 'C':
+        if not hasattr(v, 'ndim'):
+            out[k] = v  # non-array (e.g. the empty split-tree placeholder)
+        elif v.ndim == 2 and k != 'C':
             out[k] = jax.device_put(v, grid)
         else:
             out[k] = jax.device_put(v, rep)

@@ -76,6 +76,10 @@ class Parameters:
     # mode (measured: same trace quality as 'highest' at ~1.8x speed) and
     # 'highest' in float64 mode
     matmul_precision: Optional[str] = None
+    # 2-D DCT route: 'matmul' (C·U·Cᵀ on the MXU; shards under a mesh),
+    # 'fft' (Makhoul rFFT, O(N² log N) — measured faster at N>=1024 f32),
+    # 'auto' resolves per precision/N/mesh (see core/solver.py)
+    transform_backend: str = 'auto'
 
     version: str = __version__
 

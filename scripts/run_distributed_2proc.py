@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Two-process ``jax.distributed`` exercise of the ensemble path.
+
+Launches TWO OS processes on localhost (coordinator + worker, 4 virtual
+CPU devices each), builds the global 8-device ('ens','x','y') = (2,2,2)
+mesh ACROSS the process boundary, runs the vmapped UQ ensemble sharded
+over it, and bit-compares the result against the same run on a
+single-process 8-device virtual mesh.  This proves the cross-process
+codepath (global array construction, ens-axis all-gather host reads,
+collective-bearing step program) end to end — the same machinery a real
+2-host TPU slice uses, with DCN standing in for the ICI.
+
+Usage:
+    python scripts/run_distributed_2proc.py [--out DISTRIBUTED.json]
+
+Exit 0 + a JSON artifact on bit-exact agreement.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CONFIG = dict(N=32, ntmax=30, R=4, seed=2023)
+
+
+def build_params():
+    import chsimpy_tpu as ct
+    p = ct.Parameters()
+    p.N = CONFIG['N']
+    p.ntmax = CONFIG['ntmax']
+    p.no_gui = True
+    p.update_every = None
+    p.full_sim = True
+    p.generator = 'lcg'
+    p.seed = CONFIG['seed']
+    p.kappa_tilde = 2.98911291966116e-4
+    return p
+
+
+def build_pairs(params):
+    import numpy as np
+    from chsimpy_tpu import material
+    A0 = material.A0(params.temp)
+    A1 = material.A1(params.temp)
+    facs = [(1.0, 1.0), (1.004, 0.997), (0.995, 1.005), (1.002, 1.002)]
+    return np.array([[A0 * f0, A1 * f1] for f0, f1 in facs])
+
+
+def run_ensemble(mesh):
+    import numpy as np
+    from chsimpy_tpu.ensemble import EnsembleSolver
+    params = build_params()
+    ens = EnsembleSolver(params, build_pairs(params), mesh=mesh)
+    ens.prepare()
+    sols = ens.solve_or_resume(params.ntmax)
+    return {
+        'U_sums': [float(np.sum(np.asarray(s.U))) for s in sols],
+        'steps': [int(s.computed_steps) for s in sols],
+        'E_last': [float(s.E[-1]) for s in sols],
+        'E_all': [np.asarray(s.E).tolist() for s in sols],
+        'U0_rows': [np.asarray(s.U)[0, :4].tolist() for s in sols],
+    }
+
+
+def worker(process_id, num_processes, coordinator, out_path):
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    from chsimpy_tpu.parallel import distributed
+    topo = distributed.initialize(coordinator_address=coordinator,
+                                  num_processes=num_processes,
+                                  process_id=process_id)
+    assert topo['global_devices'] == 8, topo
+    assert topo['process_count'] == num_processes
+    hb = distributed.Heartbeat(interval_s=30.0).start()
+    from chsimpy_tpu.parallel.mesh import make_ensemble_mesh
+    mesh = make_ensemble_mesh(2, (2, 2))
+    result = run_ensemble(mesh)
+    result['process_id'] = process_id
+    result['process_count'] = jax.process_count()
+    result['local_devices'] = jax.local_device_count()
+    hb.stop()
+    if process_id == 0:
+        with open(out_path, 'w') as f:
+            json.dump(result, f)
+    print(f"[proc {process_id}] done: steps={result['steps']}")
+
+
+def single_process_reference(out_path):
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    from chsimpy_tpu.parallel.mesh import make_ensemble_mesh
+    mesh = make_ensemble_mesh(2, (2, 2))
+    result = run_ensemble(mesh)
+    with open(out_path, 'w') as f:
+        json.dump(result, f)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--out', default=os.path.join(REPO, 'DISTRIBUTED.json'))
+    ap.add_argument('--worker', type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument('--coordinator', default=None, help=argparse.SUPPRESS)
+    ap.add_argument('--result-file', default=None, help=argparse.SUPPRESS)
+    ap.add_argument('--single', action='store_true', help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.worker is not None:
+        worker(args.worker, 2, args.coordinator, args.result_file)
+        return 0
+    if args.single:
+        single_process_reference(args.result_file)
+        return 0
+
+    tmp = tempfile.mkdtemp(prefix='chsimpy-dist-')
+    dist_out = os.path.join(tmp, 'dist.json')
+    single_out = os.path.join(tmp, 'single.json')
+    port = 12000 + os.getpid() % 20000
+    coordinator = f"127.0.0.1:{port}"
+
+    env = dict(os.environ)
+    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['PYTHONPATH'] = REPO + os.pathsep + env.get('PYTHONPATH', '')
+
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), '--worker', str(i),
+         '--coordinator', coordinator, '--result-file', dist_out],
+        env=env, cwd=tmp) for i in range(2)]
+    rcs = [p.wait(timeout=600) for p in procs]
+    if any(rcs):
+        print(f"FAIL: worker exit codes {rcs}")
+        return 1
+
+    env1 = dict(env)
+    env1['XLA_FLAGS'] = '--xla_force_host_platform_device_count=8'
+    rc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), '--single',
+         '--result-file', single_out], env=env1, cwd=tmp).returncode
+    if rc:
+        print("FAIL: single-process reference run failed")
+        return 1
+
+    with open(dist_out) as f:
+        dist = json.load(f)
+    with open(single_out) as f:
+        single = json.load(f)
+
+    exact = all(dist[k] == single[k]
+                for k in ('U_sums', 'steps', 'E_all', 'U0_rows'))
+    artifact = {
+        'schema': 'chsimpy-tpu-distributed-2proc-v1',
+        'config': CONFIG,
+        'mesh': {'axes': ['ens', 'x', 'y'], 'shape': [2, 2, 2]},
+        'processes': 2,
+        'devices_per_process': 4,
+        'bit_exact_vs_single_process': exact,
+        'steps': dist['steps'],
+        'U_sums': dist['U_sums'],
+        'E_last': dist['E_last'],
+    }
+    with open(args.out, 'w') as f:
+        json.dump(artifact, f, indent=1)
+    print(f"2-process vs single-process bit-exact: {exact} -> {args.out}")
+    return 0 if exact else 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,0 +1,30 @@
+"""Real multi-process jax.distributed execution (2 localhost processes,
+4 virtual CPU devices each, global ('ens','x','y') mesh): the ensemble
+must bit-match the single-process virtual-mesh run.
+
+Runs scripts/run_distributed_2proc.py in subprocesses so this test owns
+no backend state.  ~1-2 min; the committed DISTRIBUTED_r02.json artifact
+is the per-round record of the same check."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_two_process_ensemble_bit_matches_single(tmp_path):
+    out = tmp_path / 'dist.json'
+    env = dict(os.environ)
+    env.pop('XLA_FLAGS', None)  # the script sets its own device counts
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, 'scripts', 'run_distributed_2proc.py'),
+         '--out', str(out)],
+        env=env, capture_output=True, text=True, timeout=570)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    with open(out) as f:
+        artifact = json.load(f)
+    assert artifact['bit_exact_vs_single_process'] is True
+    assert artifact['processes'] == 2

@@ -1,0 +1,224 @@
+"""The FFT (Makhoul rFFT) DCT route: exactness vs scipy, solver-level
+equivalence with the matmul route, and backend resolution rules."""
+
+import numpy as np
+import pytest
+
+import chsimpy_tpu as ct
+from chsimpy_tpu.core.solver import resolve_transform
+from chsimpy_tpu.ops import dct as dct_ops
+
+import jax.numpy as jnp
+
+
+@pytest.mark.parametrize('N', [8, 64, 130, 256])
+def test_fft_dct_matches_scipy(N):
+    from scipy.fftpack import dctn, idctn
+    x = np.random.default_rng(0).random((N, N))
+    ref = dctn(x, norm='ortho')
+    got = np.asarray(dct_ops.dct2_fft(jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=5e-14)
+    back = np.asarray(dct_ops.idct2_fft(jnp.asarray(ref)))
+    np.testing.assert_allclose(back, x, rtol=0, atol=5e-14)
+    # matches idctn too (DCT-III)
+    np.testing.assert_allclose(back, idctn(ref, norm='ortho'),
+                               rtol=0, atol=5e-14)
+
+
+def test_fft_and_matmul_routes_agree_in_solver():
+    """Full f64 solve with each transform backend: same trajectory to
+    transform rounding (~1e-13 relative)."""
+    def run(tb):
+        p = ct.Parameters()
+        p.N = 64
+        p.ntmax = 60
+        p.no_gui = True
+        p.update_every = None
+        p.full_sim = True
+        p.generator = 'lcg'
+        p.kappa_tilde = 2.98911291966116e-4
+        p.transform_backend = tb
+        sol = ct.Simulator(p).solve()
+        return np.asarray(sol.timedata.data()), np.asarray(sol.U)
+
+    ta, Ua = run('matmul')
+    tb_, Ub = run('fft')
+    np.testing.assert_allclose(ta[:, 1], tb_[:, 1], rtol=1e-12)   # E
+    np.testing.assert_allclose(ta[:, 2], tb_[:, 2], rtol=1e-6)    # E2
+    np.testing.assert_allclose(Ua, Ub, rtol=0, atol=1e-11)
+
+
+def test_fft_route_golden_trace():
+    """The fft route independently meets the reference-golden contract
+    (E <= 1e-10 relative at every step)."""
+    import json
+    import os
+    with open(os.path.join(os.path.dirname(__file__), 'golden',
+                           'n64_lcg_200.json')) as f:
+        g = json.load(f)
+    p = ct.Parameters()
+    p.no_gui = True
+    p.update_every = None
+    for k, v in g['config'].items():
+        setattr(p, k, v)
+    p.transform_backend = 'fft'
+    sol = ct.Simulator(p).solve()
+    td = sol.timedata.data()
+    assert sol.computed_steps == g['computed_steps']
+    np.testing.assert_allclose(td[:, 1], np.asarray(g['E']), rtol=1e-10)
+
+
+def test_resolve_transform_rules():
+    p = ct.Parameters()
+    # f64 default: matmul (bit-level validation path)
+    assert resolve_transform(p) == 'matmul'
+    # f32 large grid: folded matmul (measured winner, PERFORMANCE.md)
+    p.precision = 'float32'
+    p.N = 4096
+    assert resolve_transform(p) == 'split'
+    # small grid: matmul
+    p.N = 256
+    assert resolve_transform(p) == 'matmul'
+    # mesh forces matmul in auto mode
+    p.N = 4096
+    p.mesh_shape = (2, 4)
+    assert resolve_transform(p) == 'matmul'
+    # explicit fft/split + mesh is rejected
+    for tb in ('fft', 'split'):
+        p.transform_backend = tb
+        with pytest.raises(ValueError, match='mesh'):
+            resolve_transform(p)
+    # explicit choices pass through
+    p.mesh_shape = None
+    p.transform_backend = 'fft'
+    assert resolve_transform(p) == 'fft'
+    p.transform_backend = 'split'
+    assert resolve_transform(p) == 'split'
+    p.transform_backend = 'matmul'
+    assert resolve_transform(p) == 'matmul'
+    # odd N cannot fold
+    p.transform_backend = 'split'
+    p.N = 127
+    with pytest.raises(ValueError, match='even N'):
+        resolve_transform(p)
+
+
+@pytest.mark.parametrize('N,levels', [(8, 1), (64, 2), (64, 3), (256, 2),
+                                      (130, 1)])
+def test_split_dct_matches_scipy(N, levels):
+    from scipy.fftpack import dctn
+    from chsimpy_tpu.ops.dct import (dct2_split, idct2_split, split_tree)
+    x = np.random.default_rng(1).random((N, N))
+    ref = dctn(x, norm='ortho')
+    tree = split_tree(N, levels)
+    got = np.asarray(dct2_split(jnp.asarray(x), tree))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+    back = np.asarray(idct2_split(jnp.asarray(ref), tree))
+    np.testing.assert_allclose(back, x, rtol=0, atol=1e-12)
+
+
+def test_split_route_golden_trace():
+    """The split route independently meets the reference-golden contract
+    (E <= 1e-10 relative at every step) in f64."""
+    import json
+    import os
+    with open(os.path.join(os.path.dirname(__file__), 'golden',
+                           'n64_lcg_200.json')) as f:
+        g = json.load(f)
+    p = ct.Parameters()
+    p.no_gui = True
+    p.update_every = None
+    for k, v in g['config'].items():
+        setattr(p, k, v)
+    p.transform_backend = 'split'
+    sol = ct.Simulator(p).solve()
+    td = sol.timedata.data()
+    assert sol.computed_steps == g['computed_steps']
+    np.testing.assert_allclose(td[:, 1], np.asarray(g['E']), rtol=1e-10)
+
+
+def test_split_route_in_solver_f32():
+    """f32 split trajectory agrees with the f32 matmul trajectory to f32
+    arithmetic level (the fast-path default at N>=1024)."""
+    def run(tb):
+        p = ct.Parameters()
+        p.N = 64
+        p.ntmax = 60
+        p.no_gui = True
+        p.update_every = None
+        p.full_sim = True
+        p.precision = 'float32'
+        p.generator = 'lcg'
+        p.kappa_tilde = 2.98911291966116e-4
+        p.transform_backend = tb
+        sol = ct.Simulator(p).solve()
+        return np.asarray(sol.timedata.data()), np.asarray(sol.U)
+
+    ta, Ua = run('matmul')
+    tb_, Ub = run('split')
+    np.testing.assert_allclose(ta[:, 1], tb_[:, 1], rtol=1e-5)
+    np.testing.assert_allclose(Ua, Ub, rtol=0, atol=1e-4)
+
+
+def test_ensemble_split_matches_matmul():
+    from chsimpy_tpu import material
+    from chsimpy_tpu.ensemble import EnsembleSolver
+
+    def run(tb):
+        p = ct.Parameters()
+        p.N = 32
+        p.ntmax = 30
+        p.no_gui = True
+        p.full_sim = True
+        p.generator = 'lcg'
+        p.kappa_tilde = 2.98911291966116e-4
+        p.transform_backend = tb
+        A0 = material.A0(p.temp)
+        A1 = material.A1(p.temp)
+        pairs = np.array([[A0, A1], [A0 * 1.004, A1 * 0.997]])
+        ens = EnsembleSolver(p, pairs)
+        ens.prepare()
+        return ens.solve_or_resume(p.ntmax)
+
+    sa = run('matmul')
+    sb = run('split')
+    for x, y in zip(sa, sb):
+        assert x.computed_steps == y.computed_steps
+        np.testing.assert_allclose(np.asarray(x.U), np.asarray(y.U),
+                                   rtol=0, atol=1e-11)
+
+
+def test_transform_cli_flag():
+    from chsimpy_tpu.cli import CLIParser
+    p = CLIParser().get_parameters(['--transform', 'fft', '-N', '64'])
+    assert p.transform_backend == 'fft'
+    p = CLIParser().get_parameters(['-N', '64'])
+    assert p.transform_backend == 'auto'
+
+
+def test_ensemble_fft_matches_matmul():
+    from chsimpy_tpu import material
+    from chsimpy_tpu.ensemble import EnsembleSolver
+
+    def run(tb):
+        p = ct.Parameters()
+        p.N = 32
+        p.ntmax = 30
+        p.no_gui = True
+        p.full_sim = True
+        p.generator = 'lcg'
+        p.kappa_tilde = 2.98911291966116e-4
+        p.transform_backend = tb
+        A0 = material.A0(p.temp)
+        A1 = material.A1(p.temp)
+        pairs = np.array([[A0, A1], [A0 * 1.004, A1 * 0.997]])
+        ens = EnsembleSolver(p, pairs)
+        ens.prepare()
+        return ens.solve_or_resume(p.ntmax)
+
+    sa = run('matmul')
+    sb = run('fft')
+    for x, y in zip(sa, sb):
+        assert x.computed_steps == y.computed_steps
+        np.testing.assert_allclose(np.asarray(x.U), np.asarray(y.U),
+                                   rtol=0, atol=1e-11)
