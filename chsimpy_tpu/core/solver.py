@@ -50,9 +50,15 @@ def resolve_transform(params: Parameters) -> str:
     if tb == 'auto':
         if params.mesh_shape is not None:
             return 'matmul'  # sharded contraction: local matmul + collective
-        if (params.precision == 'float32' and params.N >= SPLIT_MIN_N
-                and params.N % 4 == 0):
-            return 'split'
+        if params.N >= SPLIT_MIN_N and params.N % 4 == 0:
+            if params.precision == 'float32':
+                return 'split'
+            if jax.default_backend() == 'tpu':
+                # emulated-f64 matmuls dominate the TPU f64 step and scale
+                # with FLOPs (274 -> 165 ms at N=4096, PERFORMANCE.md);
+                # the CPU backend keeps matmul — it is the bit-level
+                # validated contract path
+                return 'split'
         return 'matmul'
     if tb in ('fft', 'split'):
         if params.mesh_shape is not None:

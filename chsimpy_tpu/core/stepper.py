@@ -143,11 +143,74 @@ def _nonlinear_term(cfg: StepConfig, consts, U):
             - 2.0 * A1 * U * Uinv)
 
 
+def _grad_sq_sum(U, delx):
+    """sum over the field of dux^2 + duy^2 (np.gradient edge_order=1
+    semantics) WITHOUT materializing the gradient arrays: the central and
+    one-sided contributions reduce slice-wise, so XLA fuses everything
+    into shifted-load reduction loops instead of the concat+square+mean
+    chain (measured 2-3x fewer HBM passes at N=4096)."""
+    h = delx
+    h2 = 2.0 * delx
+
+    def axis_sum(V):  # along axis 0 of V
+        central = (V[2:, :] - V[:-2, :]) / h2
+        first = (V[1, :] - V[0, :]) / h
+        last = (V[-1, :] - V[-2, :]) / h
+        return (jnp.sum(central * central) + jnp.sum(first * first)
+                + jnp.sum(last * last))
+
+    return axis_sum(U) + axis_sum(U.T)
+
+
+def _stats_fast(cfg: StepConfig, consts, U, EnergieEut):
+    """Reduction-only statistics for the float32 fast path: every sum
+    taken directly (no gradient/abs-deviation intermediates beyond what
+    fuses); finalization in f64.  Summation order differs from _stats —
+    float64 validation mode keeps the original form."""
+    N = cfg.N
+    dtype = U.dtype
+    A0 = consts['A0'].astype(dtype)
+    A1 = consts['A1'].astype(dtype)
+    kt = consts['kappa_tilde'].astype(jnp.float64)
+    n2 = float(N * N)
+    Lsq = cfg.L ** 2
+    Uinv = 1.0 - U
+    integrand = (cfg.RT * (U * (jnp.log(U) - cfg.B) + Uinv * jnp.log(Uinv))
+                 + (A0 + A1 * (Uinv - U)) * U * Uinv)
+    s_int = jnp.sum(integrand).astype(jnp.float64)
+    s_du2 = _grad_sq_sum(U, cfg.delx).astype(jnp.float64)
+    s_u = jnp.sum(U).astype(jnp.float64)
+    s_sa = jnp.sum((U < cfg.threshold).astype(dtype)).astype(jnp.float64)
+    s_e2 = jnp.sum(EnergieEut * EnergieEut).astype(jnp.float64)
+
+    E2 = 0.5 * cfg.Amr * kt * Lsq * (s_du2 / n2)
+    E = cfg.Amr * Lsq * (s_int / n2) + E2
+    SA = s_sa / n2
+    L2 = jnp.sqrt(s_e2) / n2
+    meanU = (s_u / n2).astype(dtype)
+    PS = jnp.sum(jnp.abs(U - meanU)).astype(jnp.float64) / n2
+    mid = U[N // 2 + 1, :]
+    Ra = jnp.mean(jnp.abs(mid - jnp.mean(mid))).astype(jnp.float64)
+    return E, E2, PS, L2, Ra, SA
+
+
 def _stats(cfg: StepConfig, consts, U, EnergieEut=None):
     """Energy functionals and field statistics (solver.py:213-228).
     Returns f64 scalars (row entries) regardless of field dtype.
     ``EnergieEut=None`` (prepare path) yields L2 = 0 without materializing a
     zeros array (a large HLO constant compiles pathologically on TPU)."""
+    if (cfg.kernel_backend == 'xla' and cfg.dtype == 'float32'
+            and EnergieEut is not None):
+        return _stats_fast(cfg, consts, U, EnergieEut)
+    if cfg.kernel_backend == 'pallas' and EnergieEut is not None:
+        # fused banded kernel: every full-field sum in one U+EnergieEut
+        # pass + one |U-mean| pass (the measured Pallas win — the XLA
+        # chain costs ~1.7 ms at N=4096 f32, see PERFORMANCE.md)
+        from ..ops import pallas_kernels as pk
+        return pk.fused_stats(
+            U, EnergieEut, consts['A0'], consts['A1'],
+            consts['kappa_tilde'], delx=cfg.delx, RT=cfg.RT, B=cfg.B,
+            Amr=cfg.Amr, L=cfg.L, threshold=cfg.threshold)
     N = cfg.N
     dtype = U.dtype
     A0 = consts['A0'].astype(dtype)
@@ -236,13 +299,13 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
 
     def proceed(state):
         C = consts['C']
-        # semi-implicit spectral update, eq. (12) of Ghiass et al (2016)
-        if cfg.kernel_backend == 'pallas':
-            from ..ops import pallas_kernels as pk
-            hat_E = pk.dct2_pallas(EnergieEut, C)
-            hat_U = pk.spectral_update(state.hat_U, hat_E, Seig, CHeig)
-            U = pk.idct2_pallas(hat_U, C)
-        elif cfg.transform_backend == 'split':
+        # semi-implicit spectral update, eq. (12) of Ghiass et al (2016).
+        # NOTE the 'pallas' kernel backend intentionally does NOT own the
+        # transform: the hand-tiled Pallas matmul measured SLOWER than
+        # XLA's (19.6 vs 9.2/6.1 ms at N=4096, PERFORMANCE.md), so pallas
+        # mode = fused nonlinear term + fused stats kernels around
+        # whichever transform_backend is configured.
+        if cfg.transform_backend == 'split':
             prec = cfg.mm_precision
             hat_E = dct_ops.dct2_split(EnergieEut, consts['tree'],
                                        precision=prec, constrain=constrain)

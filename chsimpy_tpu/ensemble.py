@@ -111,6 +111,7 @@ class EnsembleSolver:
             time_limit=time_limit, full_sim=params.full_sim,
             jitter=params.jitter if jitter_on else None,
             jitter_mode=jitter_mode,
+            kernel_backend=params.kernel_backend,
             transform_backend=solver_mod.resolve_transform(params),
             matmul_precision=params.matmul_precision or (
                 'high' if params.precision == 'float32' else 'highest'),

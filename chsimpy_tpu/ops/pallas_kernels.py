@@ -44,8 +44,10 @@ def _tile(N: int, want: int = 256) -> int:
 # fused chemical potential
 # ----------------------------------------------------------------------
 
-def _mu_kernel(RT, BRT, A0, A1, u_ref, out_ref):
+def _mu_kernel(RT, BRT, scal_ref, u_ref, out_ref):
     U = u_ref[:]
+    A0 = scal_ref[0]
+    A1 = scal_ref[1]
     Uinv = 1.0 - U
     U2inv = Uinv - U
     out_ref[:] = (RT * jnp.log(U / Uinv) - BRT
@@ -54,21 +56,26 @@ def _mu_kernel(RT, BRT, A0, A1, u_ref, out_ref):
 
 
 def chemical_potential(U, RT, BRT, A0, A1):
-    """EnergieEut = RT·log(U/(1−U)) − BRT + (A0+A1(1−2U))(1−2U) − 2A1·U(1−U)."""
+    """EnergieEut = RT·log(U/(1−U)) − BRT + (A0+A1(1−2U))(1−2U) − 2A1·U(1−U).
+
+    A0/A1 are traced device scalars riding in SMEM (the UQ-perturbable
+    pair — keeps the kernel reusable under the vmapped ensemble); RT/BRT
+    are static floats shared by every member."""
     N, M = U.shape
     tn, tm = _tile(N), _tile(M)
-    kern = functools.partial(_mu_kernel, float(RT), float(BRT),
-                             float(A0), float(A1))
+    scal = jnp.stack([jnp.asarray(A0, U.dtype), jnp.asarray(A1, U.dtype)])
+    kern = functools.partial(_mu_kernel, float(RT), float(BRT))
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(U.shape, U.dtype),
         grid=(N // tn, M // tm),
-        in_specs=[pl.BlockSpec((tn, tm), lambda i, j: (i, j),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((tn, tm), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((tn, tm), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(U)
+    )(scal, U)
 
 
 # ----------------------------------------------------------------------
@@ -151,3 +158,181 @@ def dct2_pallas(U, C):
 
 def idct2_pallas(X, C):
     return matmul(matmul(C.T, X), C)
+
+
+# ----------------------------------------------------------------------
+# fused field statistics (the measured Pallas win: the XLA stats chain
+# costs ~1.7 ms at N=4096 f32 — ~25 HBM passes from materialized
+# gradients and six separate reductions; this kernel computes every
+# full-field sum in ONE banded pass over U and EnergieEut, with a 1-row
+# halo DMA'd per band for the np.gradient stencil)
+# ----------------------------------------------------------------------
+
+def _pack_row(scalars, dtype):
+    """(8, 128) tile with scalars[j] at [0, j], zeros elsewhere (built
+    with masked selects — Mosaic has no scalar VMEM stores)."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    row = jnp.zeros((8, 128), dtype)
+    for j, v in enumerate(scalars):
+        row = jnp.where((sub == 0) & (lane == j), v.astype(dtype), row)
+    return row
+
+
+def _stats_band_kernel(N, tn, delx, RT, B, threshold,
+                       scal_ref, up_ref, u_ref, dn_ref, eut_ref, out_ref):
+    """Band partial sums accumulated into one (8, 128) tile:
+    lane 0..4 of row 0 = [integrand, |grad U|^2, U, SA-count,
+    EnergieEut^2].
+
+    The three U inputs are pre-shifted views of the edge-padded field
+    (rows r-1 / r / r+1), so the kernel needs no halo DMA — every operand
+    is a plain banded block.  The grid is sequential ('arbitrary'): band b
+    adds its partials onto the running tile.  Scalars (A0, A1 — the
+    UQ-traced pair) ride in SMEM."""
+    b = pl.program_id(0)
+    A0 = scal_ref[0]
+    A1 = scal_ref[1]
+    U = u_ref[:]
+    up = up_ref[:]                     # row r-1 (edge-replicated pad)
+    dn = dn_ref[:]                     # row r+1
+
+    # --- axis-0 gradient (rows) with np.gradient edge_order=1 semantics
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tn, N), 0) + b * tn
+    central = (dn - up) / (2.0 * delx)
+    fwd = (dn - U) / delx              # row 0: (U[1]-U[0])/h
+    bwd = (U - up) / delx              # row N-1: (U[-1]-U[-2])/h
+    dux = jnp.where(rows == 0, fwd,
+                    jnp.where(rows == N - 1, bwd, central))
+
+    # --- axis-1 gradient (columns) entirely within the band
+    left = pltpu.roll(U, jnp.int32(1), axis=1)       # U[:, j-1]
+    right = pltpu.roll(U, jnp.int32(N - 1), axis=1)  # U[:, j+1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tn, N), 1)
+    centralc = (right - left) / (2.0 * delx)
+    fwdc = (right - U) / delx
+    bwdc = (U - left) / delx
+    duy = jnp.where(cols == 0, fwdc,
+                    jnp.where(cols == N - 1, bwdc, centralc))
+
+    du2 = dux * dux + duy * duy
+
+    Uinv = 1.0 - U
+    integrand = (RT * (U * (jnp.log(U) - B) + Uinv * jnp.log(Uinv))
+                 + (A0 + A1 * (Uinv - U)) * U * Uinv)
+
+    E = eut_ref[:]
+    row = _pack_row([jnp.sum(integrand), jnp.sum(du2), jnp.sum(U),
+                     jnp.sum((U < threshold).astype(U.dtype)),
+                     jnp.sum(E * E)], U.dtype)
+
+    @pl.when(b == 0)
+    def _():
+        out_ref[:] = row
+
+    @pl.when(b != 0)
+    def _():
+        out_ref[:] = out_ref[:] + row
+
+
+def _absdev_band_kernel(tn, scal_ref, u_ref, out_ref):
+    """Accumulated sum |U - mean| (PS pass 2; mean rides in SMEM)."""
+    b = pl.program_id(0)
+    row = _pack_row([jnp.sum(jnp.abs(u_ref[:] - scal_ref[0]))],
+                    u_ref.dtype)
+
+    @pl.when(b == 0)
+    def _():
+        out_ref[:] = row
+
+    @pl.when(b != 0)
+    def _():
+        out_ref[:] = out_ref[:] + row
+
+
+def _band_tile(N):
+    """Band height for the stats kernels."""
+    return _tile(N, 128)
+
+
+def stats_band_sums(U, EnergieEut, A0, A1, *, delx, RT, B, threshold):
+    """(8, 128) tile of full-field sums via the fused kernel (lane 0..4 of
+    row 0).  A0/A1 are traced device scalars (vmappable for the UQ
+    ensemble)."""
+    N = U.shape[0]
+    tn = _band_tile(N)
+    nb = N // tn
+    scal = jnp.stack([jnp.asarray(A0, U.dtype),
+                      jnp.asarray(A1, U.dtype)])
+    # pre-shifted full-field views of the edge-padded field: the kernel
+    # sees rows r-1 / r / r+1 as three plain banded operands (no halo DMA;
+    # XLA materializes the shifted copies, ~3 HBM passes)
+    up = jnp.concatenate([U[:1], U[:-1]], axis=0)
+    dn = jnp.concatenate([U[1:], U[-1:]], axis=0)
+    # NOTE index-map literals must be i32: under jax_enable_x64 a bare 0
+    # becomes i64 and Mosaic rejects the mixed-width index tuple
+    # ("failed to legalize operation 'func.return'")
+    band = pl.BlockSpec((tn, N), lambda b: (b, jnp.int32(0)),
+                        memory_space=pltpu.VMEM)
+    kern = functools.partial(_stats_band_kernel, N, tn, float(delx),
+                             float(RT), float(B), float(threshold))
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((8, 128), U.dtype),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            band, band, band, band,
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=_interpret(),
+    )(scal, up, U, dn, EnergieEut)
+
+
+def fused_stats(U, EnergieEut, A0, A1, kappa_tilde, *,
+                delx, RT, B, Amr, L, threshold):
+    """Full _stats-equivalent via the fused kernels: returns
+    (E, E2, PS, L2, Ra, SA) as f64 scalars (band partials combined in
+    f64).  Ra (one mid row) stays in plain jnp — it is O(N)."""
+    N = U.shape[0]
+    sums = stats_band_sums(U, EnergieEut, A0, A1, delx=delx, RT=RT, B=B,
+                           threshold=threshold)
+    tot = sums[0].astype(jnp.float64)
+    n2 = float(N * N)
+    Lsq = L ** 2
+    kt = jnp.asarray(kappa_tilde, jnp.float64)
+    E2 = 0.5 * Amr * kt * Lsq * (tot[1] / n2)
+    E = Amr * Lsq * (tot[0] / n2) + E2
+    SA = tot[3] / n2
+    L2 = jnp.sqrt(tot[4]) / n2
+    meanU = tot[2] / n2
+    ps = absdev_band_sums(U, meanU.astype(U.dtype))
+    PS = ps[0, 0].astype(jnp.float64) / n2
+    mid = U[N // 2 + 1, :]
+    Ra = jnp.mean(jnp.abs(mid - jnp.mean(mid))).astype(jnp.float64)
+    return E, E2, PS, L2, Ra, SA
+
+
+def absdev_band_sums(U, mean):
+    """(nbands, 8) partial sums of |U - mean| (PS second pass)."""
+    N = U.shape[0]
+    tn = _band_tile(N)
+    nb = N // tn
+    scal = jnp.asarray(mean, U.dtype).reshape(1)
+    kern = functools.partial(_absdev_band_kernel, tn)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((8, 128), U.dtype),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tn, N), lambda b: (b, jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=_interpret(),
+    )(scal, U)

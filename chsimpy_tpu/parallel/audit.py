@@ -1,0 +1,131 @@
+"""HLO collective audit of the sharded step program.
+
+Compiles the grid-sharded chunk runner on a device mesh and inventories
+the communication ops XLA inserted (all-gather / all-reduce /
+reduce-scatter / all-to-all / collective-permute) with their output
+shapes and byte volumes.  This is the multi-chip sanity signal available
+without multi-chip hardware: it proves the distributed matmul-DCT
+contracts via partial-shard collectives instead of silently all-gathering
+the full field to every device, and it quantifies bytes-per-step for the
+ICI budget (numbers recorded in PERFORMANCE.md).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+
+import numpy as np
+
+_COLLECTIVES = ('all-gather', 'all-reduce', 'reduce-scatter',
+                'all-to-all', 'collective-permute')
+
+_DTYPE_BYTES = {'f64': 8, 'f32': 4, 'bf16': 2, 'f16': 2, 's32': 4,
+                'u32': 4, 's64': 8, 'u64': 8, 'pred': 1, 'c64': 8,
+                'c128': 16, 's8': 1, 'u8': 1}
+
+_SHAPE_RE = re.compile(r'(\w+)\[([\d,]*)\]')
+
+
+def _shape_bytes(shape_str: str) -> int:
+    m = _SHAPE_RE.match(shape_str)
+    if not m:
+        return 0
+    dtype, dims = m.groups()
+    n = 1
+    for d in dims.split(','):
+        if d:
+            n *= int(d)
+    return n * _DTYPE_BYTES.get(dtype, 4)
+
+
+def collect_collectives(hlo_text: str) -> list:
+    """Parse an HLO dump into [{op, shape, bytes, line}] records."""
+    out = []
+    for line in hlo_text.splitlines():
+        s = line.strip()
+        m = re.match(r'.*?=\s*(\S+)\s+([a-z\-]+)(?:-(?:start|done))?\(', s)
+        if not m:
+            continue
+        shape_str, op = m.groups()
+        if op not in _COLLECTIVES:
+            continue
+        # tuple shapes: count every element
+        nbytes = sum(_shape_bytes(p)
+                     for p in re.findall(r'\w+\[[\d,]*\]', shape_str)) \
+            or _shape_bytes(shape_str)
+        out.append({'op': op, 'shape': shape_str, 'bytes': nbytes,
+                    'line': s[:160]})
+    return out
+
+
+def audit_sharded_chunk(N: int = 256, mesh_shape=(2, 4),
+                        precision: str = 'float32') -> dict:
+    """Compile the sharded chunk runner and inventory its collectives.
+
+    Returns {'records', 'per_op_bytes', 'total_bytes', 'field_bytes',
+    'max_single_collective_bytes'}."""
+    import jax.numpy as jnp
+
+    from ..params import Parameters
+    from ..core.solver import Solver
+
+    p = Parameters()
+    p.N = N
+    p.precision = precision
+    p.mesh_shape = tuple(mesh_shape)
+    p.kappa_tilde = 2.98911291966116e-4  # skip the sympy solve
+    p.no_gui = True
+    solver = Solver(p)
+    solver.prepare()
+    lowered = solver._run_chunk.lower(
+        solver._state, jnp.asarray(4, jnp.int32), solver._consts,
+        solver._null_jbuf)
+    hlo = lowered.compile().as_text()
+    records = collect_collectives(hlo)
+    per_op = defaultdict(int)
+    for r in records:
+        per_op[r['op']] += r['bytes']
+    field_bytes = N * N * np.dtype(precision).itemsize
+    return {
+        'records': records,
+        'per_op_bytes': dict(per_op),
+        'total_bytes': int(sum(r['bytes'] for r in records)),
+        'field_bytes': int(field_bytes),
+        'max_single_collective_bytes': int(
+            max((r['bytes'] for r in records), default=0)),
+        'n_collectives': len(records),
+    }
+
+
+def main(argv=None):
+    import argparse
+    import json
+
+    import chsimpy_tpu as _ct
+    _ct.honor_jax_platforms_env()
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument('-N', type=int, default=256)
+    ap.add_argument('--mesh', default='2x4')
+    ap.add_argument('--precision', default='float32')
+    ap.add_argument('--out', default=None)
+    args = ap.parse_args(argv)
+    mesh_shape = tuple(int(v) for v in args.mesh.split('x'))
+    res = audit_sharded_chunk(args.N, mesh_shape, args.precision)
+    print(f"# sharded chunk, N={args.N}, mesh={mesh_shape}, "
+          f"{args.precision}: {res['n_collectives']} collectives")
+    for op, b in sorted(res['per_op_bytes'].items()):
+        print(f"  {op}: {b / 1e6:.2f} MB")
+    print(f"  total: {res['total_bytes'] / 1e6:.2f} MB "
+          f"({res['total_bytes'] / res['field_bytes']:.1f}x the field); "
+          f"largest single: {res['max_single_collective_bytes'] / 1e6:.2f} "
+          "MB")
+    if args.out:
+        res = dict(res)
+        res['records'] = res['records'][:200]
+        with open(args.out, 'w') as f:
+            json.dump(res, f, indent=1)
+
+
+if __name__ == '__main__':
+    main()

@@ -85,3 +85,87 @@ def test_pallas_plus_mesh_rejected():
     p.mesh_shape = (2, 4)
     with pytest.raises(ValueError):
         ct.Solver(p)
+
+
+def test_fused_stats_matches_xla_stats():
+    """The banded fused-stats kernel must reproduce the XLA _stats chain
+    (E, E2, PS, L2, Ra, SA) including the np.gradient edge stencil."""
+    from chsimpy_tpu.core.stepper import StepConfig, _stats, make_consts
+    from chsimpy_tpu.derived import Derived
+    rng = np.random.default_rng(3)
+    N = 64
+    p = ct.Parameters()
+    p.N = N
+    p.kappa_tilde = 2.98911291966116e-4
+    d = Derived.from_params(p)
+    cfg = StepConfig(N=N, dtype='float64', RT=d.RT, BRT=d.BRT, B=p.B,
+                     Amr=d.Amr, L=p.L, delx=d.delx, delx2=d.delx2,
+                     M_tilde=p.M_tilde, threshold=p.threshold,
+                     A0=d.A0, A1=d.A1, kappa_tilde=d.kappa_tilde)
+    consts = make_consts(cfg, p.delt)
+    U = jnp.asarray(0.875 + 0.01 * (rng.random((N, N)) - 0.5))
+    Eut = jnp.asarray(rng.random((N, N)) - 0.5)
+    ref = _stats(cfg, consts, U, Eut)
+    got = pk.fused_stats(U, Eut, consts['A0'], consts['A1'],
+                         consts['kappa_tilde'], delx=cfg.delx, RT=cfg.RT,
+                         B=cfg.B, Amr=cfg.Amr, L=cfg.L,
+                         threshold=cfg.threshold)
+    names = ('E', 'E2', 'PS', 'L2', 'Ra', 'SA')
+    for n, r, g in zip(names, ref, got):
+        np.testing.assert_allclose(float(g), float(r), rtol=1e-12,
+                                   err_msg=n)
+
+
+def test_solver_pallas_backend_matches_xla():
+    """Full solve with kernel_backend='pallas' (fused mu + DCT matmuls +
+    fused stats, interpret mode) vs the XLA path."""
+    def run(backend):
+        p = ct.Parameters()
+        p.N = 32
+        p.ntmax = 25
+        p.no_gui = True
+        p.update_every = None
+        p.full_sim = True
+        p.precision = 'float32'
+        p.generator = 'lcg'
+        p.kappa_tilde = 2.98911291966116e-4
+        p.kernel_backend = backend
+        sol = ct.Simulator(p).solve()
+        return np.asarray(sol.timedata.data()), np.asarray(sol.U)
+
+    tx, Ux = run('xla')
+    tp, Up = run('pallas')
+    assert tx.shape == tp.shape
+    np.testing.assert_allclose(tp[:, 1], tx[:, 1], rtol=1e-5)   # E
+    np.testing.assert_allclose(Up, Ux, rtol=0, atol=1e-5)
+
+
+def test_ensemble_pallas_backend_matches_xla():
+    """The vmapped UQ ensemble runs the pallas kernels (traced A0/A1
+    scalars ride in SMEM; vmap batches the kernel grid)."""
+    from chsimpy_tpu import material
+    from chsimpy_tpu.ensemble import EnsembleSolver
+
+    def run(backend):
+        p = ct.Parameters()
+        p.N = 32
+        p.ntmax = 20
+        p.no_gui = True
+        p.full_sim = True
+        p.generator = 'lcg'
+        p.kappa_tilde = 2.98911291966116e-4
+        p.precision = 'float32'
+        p.kernel_backend = backend
+        A0 = material.A0(p.temp)
+        A1 = material.A1(p.temp)
+        pairs = np.array([[A0, A1], [A0 * 1.004, A1 * 0.997]])
+        ens = EnsembleSolver(p, pairs)
+        ens.prepare()
+        return ens.solve_or_resume(p.ntmax)
+
+    sx = run('xla')
+    sp = run('pallas')
+    for a, b in zip(sx, sp):
+        assert a.computed_steps == b.computed_steps
+        np.testing.assert_allclose(np.asarray(a.U), np.asarray(b.U),
+                                   rtol=0, atol=1e-4)

@@ -64,3 +64,18 @@ def test_mesh_validation():
     assert best_grid_shape(8) == (2, 4)
     assert best_grid_shape(16) == (4, 4)
     assert best_grid_shape(7) == (1, 7)
+
+
+def test_sharded_chunk_collective_audit():
+    """The compiled sharded step must contract the DCT via partial-shard
+    collectives: no single collective moves the full field, and the total
+    per-program collective volume stays within a small multiple of one
+    field (PERFORMANCE.md records the inventory)."""
+    from chsimpy_tpu.parallel.audit import audit_sharded_chunk
+    res = audit_sharded_chunk(N=128, mesh_shape=(2, 4),
+                              precision='float32')
+    assert res['n_collectives'] > 0, "sharded program has no collectives?"
+    assert res['max_single_collective_bytes'] < res['field_bytes'], (
+        "a collective moves the full field: silent all-gather",
+        res['per_op_bytes'])
+    assert res['total_bytes'] <= 8 * res['field_bytes'], res['per_op_bytes']
