@@ -31,6 +31,7 @@ from functools import partial
 from typing import Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -110,10 +111,19 @@ def make_consts(cfg: StepConfig, delt: float,
     kt = cfg.kappa_tilde if kappa_tilde is None else kappa_tilde
     C = dct_ops.dct_matrix(cfg.N, dtype)
     leig = coeffs_ops.eigenvalues(cfg.N, dtype)
+    if cfg.transform_backend == 'split':
+        # the split route works in a PERMUTED spectral basis (block order
+        # instead of interleaved — drops a relayout per transform pass in
+        # the hot loop).  CHeig/Seig are elementwise in leig, so permuting
+        # leig once here keeps both the setup grids and the adaptive-mode
+        # on-device rebuild consistent automatically.
+        leig = jnp.asarray(dct_ops.split_permute_grid(
+            np.asarray(leig), cfg.N, cfg.split_levels), dtype)
+        tree = dct_ops.split_tree(cfg.N, cfg.split_levels, dtype)
+    else:
+        tree = ()
     CHeig, Seig = coeffs_ops.get_coefficients(
         leig, jnp.asarray(kt, dtype), jnp.asarray(delt, dtype), cfg.delx2)
-    tree = (dct_ops.split_tree(cfg.N, cfg.split_levels, dtype)
-            if cfg.transform_backend == 'split' else ())
     return {'C': C, 'leig': leig, 'tree': tree,
             'CHeig': CHeig.astype(dtype), 'Seig': Seig.astype(dtype),
             'A0': jnp.asarray(A0, jnp.float64),
@@ -128,10 +138,11 @@ CONSTS_BATCH_AXES = {'C': None, 'leig': None, 'tree': None, 'CHeig': 0,
 def _nonlinear_term(cfg: StepConfig, consts, U):
     """Shifted nonlinear chemical potential EnergieEut (solver.py:168-175)."""
     if cfg.kernel_backend == 'pallas':
-        # pallas path bakes the (static) physics scalars; the vmapped
-        # ensemble (traced scalars) keeps the XLA path
+        # traced per-member scalars ride into the kernel via SMEM (the
+        # vmapped ensemble perturbs A0/A1 per member)
         from ..ops import pallas_kernels as pk
-        return pk.chemical_potential(U, cfg.RT, cfg.BRT, cfg.A0, cfg.A1)
+        return pk.chemical_potential(U, cfg.RT, cfg.BRT,
+                                     consts['A0'], consts['A1'])
     dtype = U.dtype
     A0 = consts['A0'].astype(dtype)
     A1 = consts['A1'].astype(dtype)
@@ -306,12 +317,16 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
         # mode = fused nonlinear term + fused stats kernels around
         # whichever transform_backend is configured.
         if cfg.transform_backend == 'split':
+            # permuted spectral basis (see make_consts): transforms skip
+            # the interleave relayout; Seig/CHeig are pre-permuted
             prec = cfg.mm_precision
-            hat_E = dct_ops.dct2_split(EnergieEut, consts['tree'],
-                                       precision=prec, constrain=constrain)
+            hat_E = dct_ops.dct2_split_perm(EnergieEut, consts['tree'],
+                                            precision=prec,
+                                            constrain=constrain)
             hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
-            U = dct_ops.idct2_split(hat_U, consts['tree'],
-                                    precision=prec, constrain=constrain)
+            U = dct_ops.idct2_split_perm(hat_U, consts['tree'],
+                                         precision=prec,
+                                         constrain=constrain)
         elif cfg.transform_backend == 'fft':
             hat_E = dct_ops.dct2_fft(EnergieEut, constrain=constrain)
             hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
@@ -441,7 +456,8 @@ def make_entry_dct2(cfg: StepConfig):
     solver.py:159).  Entry runs at HIGHEST precision — once per entry,
     accuracy is free here."""
     if cfg.transform_backend == 'split':
-        return lambda U, consts: dct_ops.dct2_split(U, consts['tree'])
+        # permuted basis — must match the in-loop step's spectral layout
+        return lambda U, consts: dct_ops.dct2_split_perm(U, consts['tree'])
     if cfg.transform_backend == 'fft':
         return lambda U, consts: dct_ops.dct2_fft(U)
     return lambda U, consts: dct_ops.dct2(U, consts['C'])

@@ -42,3 +42,15 @@ def get_coefficients(leig: jnp.ndarray, kappa_tilde, delt, delx2):
     CHeig = 1.0 + lam2 * (leig * leig)
     Seig = lam1 * leig
     return CHeig, Seig
+
+
+def get_coefficients_np(N: int, kappa_tilde: float, delt: float,
+                        delx2: float):
+    """Host-side (CHeig, Seig) in the natural coefficient order — the
+    user-facing form (Solution export), independent of the engine's
+    internal transform basis."""
+    e = eigenvalue_axis(N)
+    leig = e[:, None] + e[None, :]
+    lam1 = delt / delx2
+    lam2 = kappa_tilde * lam1 / delx2
+    return 1.0 + lam2 * (leig * leig), lam1 * leig

@@ -215,6 +215,73 @@ def dct2_split(U, tree, precision=jax.lax.Precision.HIGHEST,
     return _apply_split(tree, constrain(X).T, precision).T
 
 
+# --- permuted-basis variant: the CH stepper only ever touches spectral
+# space ELEMENTWISE ((hat_U + Seig*hat_E)/CHeig), so the interleave that
+# restores natural coefficient order inside _apply_split is pure waste in
+# the hot loop — a full-array relayout per transform pass.  These
+# variants leave outputs in block order [even-branch..., odd]; the
+# eigenvalue grids are conjugated by the same permutation once at setup
+# (split_permutation), making the permuted pipeline exactly equivalent.
+
+
+def _apply_split_perm(tree, x, precision):
+    """P · C_block @ x — like :func:`_apply_split` without the final
+    interleave (outputs in recursive even/odd block order)."""
+    if not isinstance(tree, tuple):
+        return jnp.matmul(tree, x, precision=precision)
+    n = x.shape[0]
+    top, bot = x[:n // 2], x[n // 2:][::-1]
+    even = _apply_split_perm(tree[0], top + bot, precision)
+    odd = jnp.matmul(tree[1], top - bot, precision=precision)
+    return jnp.concatenate([even, odd], axis=0)
+
+
+def _apply_split_t_perm(tree, y, precision):
+    """C_block^T · P^T @ y — inverse of :func:`_apply_split_perm`
+    (consumes block order directly, no de-interleave gather)."""
+    if not isinstance(tree, tuple):
+        return jnp.matmul(tree.T, y, precision=precision)
+    n2 = y.shape[0] // 2
+    u = _apply_split_t_perm(tree[0], y[:n2], precision)
+    v = jnp.matmul(tree[1].T, y[n2:], precision=precision)
+    return jnp.concatenate([u + v, (u - v)[::-1]], axis=0)
+
+
+@functools.lru_cache(maxsize=64)
+def _split_permutation_np(N: int, levels: int) -> np.ndarray:
+    """perm with (P·C x)[i] == (C x)[perm[i]] for the block order of
+    :func:`_apply_split_perm`."""
+    def rec(n, lv):
+        if lv == 0 or n % 2:
+            return np.arange(n)
+        even = 2 * rec(n // 2, lv - 1)
+        odd = 1 + 2 * np.arange(n // 2)
+        return np.concatenate([even, odd])
+    return rec(N, levels)
+
+
+def split_permute_grid(G: np.ndarray, N: int, levels: int) -> np.ndarray:
+    """Conjugate an (N, N) spectral-space grid into the permuted basis
+    (host-side, setup-time)."""
+    p = _split_permutation_np(N, levels)
+    return np.asarray(G)[np.ix_(p, p)]
+
+
+def dct2_split_perm(U, tree, precision=jax.lax.Precision.HIGHEST,
+                    constrain=lambda x: x):
+    """2-D DCT-II into the permuted spectral basis."""
+    X = _apply_split_perm(tree, U, precision)
+    return _apply_split_perm(tree, constrain(X).T, precision).T
+
+
+def idct2_split_perm(X, tree, precision=jax.lax.Precision.HIGHEST,
+                     constrain=lambda x: x):
+    """Inverse from the permuted spectral basis (exact inverse of
+    :func:`dct2_split_perm`)."""
+    U = _apply_split_t_perm(tree, X, precision)
+    return _apply_split_t_perm(tree, constrain(U).T, precision).T
+
+
 def idct2_split(X, tree, precision=jax.lax.Precision.HIGHEST,
                 constrain=lambda x: x):
     """Orthonormal 2-D DCT-III, exact structured transpose of

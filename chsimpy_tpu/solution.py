@@ -54,6 +54,22 @@ class Solution:
             td = self.__dict__.get('timedata')
             if td is not None and hasattr(td, name):
                 return getattr(td, name)
+        # the reference Solution holds the spectral coefficient grids as
+        # members (chsimpy/solution.py:52-55), exportable via
+        # --export-csv CHeig,Seig; computed on demand here, in the
+        # reference's natural (interleaved) coefficient order regardless
+        # of the engine's internal transform basis
+        if name in ('CHeig', 'Seig'):
+            p = self.__dict__.get('params')
+            if p is not None:
+                from .ops import coeffs as coeffs_ops
+                delt = p.delt
+                td = self.__dict__.get('timedata')
+                if td is not None and len(td) > 0:
+                    delt = float(td.delt[-1])  # adaptive mode: current dt
+                CHeig, Seig = coeffs_ops.get_coefficients_np(
+                    p.N, self.kappa_tilde, delt, self.delx2)
+                return CHeig if name == 'CHeig' else Seig
         raise AttributeError("No such attribute: " + name)
 
     # ------------------------------------------------------------------

@@ -180,3 +180,30 @@ def test_reference_solution_yaml_ndarray_roundtrip(tmp_path):
     assert sol.computed_steps == 5
     np.testing.assert_allclose(float(np.mean(np.asarray(sol.U))),
                                float(np.mean(U)), rtol=1e-10)
+
+
+def test_export_cheig_seig(tmp_path, monkeypatch):
+    """--export-csv CHeig,Seig works like the reference (its Solution
+    holds the spectral grids as members, chsimpy/solution.py:52-55)."""
+    monkeypatch.chdir(tmp_path)
+    p = ct.Parameters()
+    p.N = 16
+    p.ntmax = 5
+    p.no_gui = True
+    p.update_every = None
+    p.full_sim = True
+    p.kappa_tilde = 2.98911291966116e-4
+    p.export_csv = 'CHeig,Seig'
+    sim = ct.Simulator(p)
+    sim.solve()
+    fid = sim.export()
+    che = np.loadtxt(f"{fid}.CHeig.csv", delimiter=',')
+    seig = np.loadtxt(f"{fid}.Seig.csv", delimiter=',')
+    # reference formula, natural order (chsimpy/utils.py:34-49)
+    k = np.arange(16.0)
+    e = 2 * np.cos(np.pi * k / 15) - 2
+    leig = e[:, None] + e[None, :]
+    lam1 = p.delt / (2.0 / 15) ** 2
+    lam2 = p.kappa_tilde * lam1 / (2.0 / 15) ** 2
+    np.testing.assert_allclose(che, 1 + lam2 * leig * leig, rtol=1e-12)
+    np.testing.assert_allclose(seig, lam1 * leig, rtol=1e-12)
