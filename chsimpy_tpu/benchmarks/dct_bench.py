@@ -74,6 +74,17 @@ def _roundtrip_fns(N, dtype):
                     tree, precision=prec)
             fns[f'split{lv}-{pname}'] = chain(body, tree)
 
+    # the production default: split with the interleave relayouts dropped
+    # (permuted spectral basis — see ops/dct.py)
+    tree2 = dct_ops.split_tree(N, 2, dtype)
+
+    def body_perm(x, C, tree):
+        return dct_ops.idct2_split_perm(
+            dct_ops.dct2_split_perm(x, tree,
+                                    precision=jax.lax.Precision.HIGH),
+            tree, precision=jax.lax.Precision.HIGH)
+    fns['split2perm-high'] = chain(body_perm, tree2)
+
     if jnp.dtype(dtype) == jnp.float32:
         from ..ops import pallas_kernels as pk
         fns['pallas'] = chain(

@@ -5,10 +5,15 @@ previously exported U matrix, which restarts the time series,
 ``chsimpy/simulator.py:21-22``).  Long pod runs need a real checkpoint: the
 full solver state — U, the timedata series, step/time counters, delt,
 early-stop bookkeeping, and the host RNG stream position — so a resumed run
-continues the exact trajectory (bit-for-bit with an uninterrupted run, since
-the spectral image is recomputed from U at every solve entry anyway).
+continues the exact trajectory: bit-for-bit with a run that passed a
+solve-entry boundary at the same step (the reference recomputes the
+spectral image from U at every ``solve_or_resume`` entry,
+``chsimpy/solver.py:159`` — a checkpoint boundary is exactly such an
+entry, so resume == in-memory re-entry).
 
-Format: a single ``.npz`` with a JSON-encoded scalar header.
+Format: a single ``.npz`` with a JSON-encoded scalar header.  Ensemble
+runs have their own pair (:func:`save_ensemble_checkpoint` /
+:func:`restore_ensemble`) covering every member + the shared stream.
 """
 
 from __future__ import annotations
@@ -120,3 +125,96 @@ def restore_solver(fname: str):
     )
     solver._state = state
     return solver
+
+
+# ----------------------------------------------------------------------
+# ensemble checkpoint (no reference equivalent; long UQ runs need it)
+# ----------------------------------------------------------------------
+
+_ENS_LEAVES = ('delt', 'time_delta_sum', 'computed_steps', 'skip_check',
+               'stop_reason', 'tau0', 't0', 'E2_first', 'E2_prev')
+
+
+def save_ensemble_checkpoint(fname: str, ens) -> None:
+    """Serialize an EnsembleSolver's resumable state: every member's
+    field + counters + trace, the (A0, A1) pairs, and the shared host
+    generator stream position.  Resume continues each member's exact
+    trajectory (hat_U is recomputed from U at every solve entry)."""
+    states = ens._states
+    leaves = ens._host_leaves(states.U, states.rng_key,
+                              *[getattr(states, n) for n in _ENS_LEAVES])
+    U, rng_key = leaves[0], leaves[1]
+    per_member = dict(zip(_ENS_LEAVES, leaves[2:]))
+    header = {
+        'format_version': FORMAT_VERSION,
+        'kind': 'ensemble',
+        'R': ens.R,
+        'params': ens.params.scalar_dict(),
+        'row_counts': [len(td) for td in ens.timedatas],
+    }
+    gen_blob = (np.frombuffer(pickle.dumps(ens.generator), dtype=np.uint8)
+                if ens.generator is not None else np.zeros(0, np.uint8))
+    np.savez_compressed(
+        fname,
+        header=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
+        U=np.asarray(U, dtype=np.float64),
+        rng_key=np.asarray(rng_key),
+        A_pairs=np.stack([ens.A0s, ens.A1s], axis=1),
+        kappas=np.asarray(ens.kappas),
+        timedata=np.concatenate([td.data() for td in ens.timedatas],
+                                axis=0),
+        U_init=np.asarray(ens.U_init, dtype=np.float64),
+        generator=gen_blob,
+        **{f'm_{n}': np.asarray(v) for n, v in per_member.items()},
+    )
+
+
+def restore_ensemble(fname: str, mesh=None):
+    """Rebuild a prepared EnsembleSolver mid-run from a checkpoint."""
+    import jax.numpy as jnp
+
+    from .ensemble import EnsembleSolver
+    from .params import Parameters
+    from .timedata import TimeData
+
+    z = np.load(fname, allow_pickle=False)
+    header = json.loads(bytes(z['header']).decode())
+    if header.get('kind') != 'ensemble':
+        raise ValueError(f"{fname} is not an ensemble checkpoint")
+    if header['format_version'] != FORMAT_VERSION:
+        raise ValueError(f"unsupported checkpoint version "
+                         f"{header['format_version']}")
+    params = Parameters()
+    names = {f.name for f in params.__dataclass_fields__.values()}
+    for k, v in header['params'].items():
+        if k in names and k != 'version':
+            if k == 'mesh_shape' and v is not None:
+                v = tuple(v)
+            setattr(params, k, v)
+
+    ens = EnsembleSolver(params, np.asarray(z['A_pairs']),
+                         U_init=np.asarray(z['U_init']), mesh=mesh)
+    if z['generator'].size:
+        ens.generator = pickle.loads(bytes(z['generator']))
+    ens.prepare()
+
+    # per-member traces
+    rows = np.asarray(z['timedata'])
+    counts = header['row_counts']
+    offs = np.cumsum([0] + counts)
+    ens.timedatas = []
+    for r in range(header['R']):
+        td = TimeData()
+        td.insert_block(rows[offs[r]:offs[r + 1]])
+        ens.timedatas.append(td)
+
+    dtype = ens.cfg.jdtype
+    repl = {'U': jnp.asarray(z['U'], dtype),
+            'rng_key': jnp.asarray(z['rng_key'])}
+    for n in _ENS_LEAVES:
+        ref_leaf = getattr(ens._states, n)
+        repl[n] = jnp.asarray(z[f'm_{n}'], ref_leaf.dtype)
+    states = ens._states.replace(**repl)
+    ens._states = ens._shard(states)
+    ens._stop = np.asarray(z['m_stop_reason'], np.int64)
+    return ens

@@ -163,14 +163,16 @@ def _grad_sq_sum(U, delx):
     h = delx
     h2 = 2.0 * delx
 
-    def axis_sum(V):  # along axis 0 of V
-        central = (V[2:, :] - V[:-2, :]) / h2
-        first = (V[1, :] - V[0, :]) / h
-        last = (V[-1, :] - V[-2, :]) / h
-        return (jnp.sum(central * central) + jnp.sum(first * first)
-                + jnp.sum(last * last))
+    def sq_sum(x):
+        return jnp.sum(x * x)
 
-    return axis_sum(U) + axis_sum(U.T)
+    rows = (sq_sum((U[2:, :] - U[:-2, :]) / h2)
+            + sq_sum((U[1, :] - U[0, :]) / h)
+            + sq_sum((U[-1, :] - U[-2, :]) / h))
+    cols = (sq_sum((U[:, 2:] - U[:, :-2]) / h2)
+            + sq_sum((U[:, 1] - U[:, 0]) / h)
+            + sq_sum((U[:, -1] - U[:, -2]) / h))
+    return rows + cols
 
 
 def _stats_fast(cfg: StepConfig, consts, U, EnergieEut):

@@ -77,3 +77,51 @@ def test_checkpoint_roundtrip_params(tmp_path):
     assert s2.params.seed == 99
     assert s2.params.precision == 'float32'
     assert s2.solution.computed_steps == s.solution.computed_steps
+
+
+def test_ensemble_checkpoint_resume_bitexact(tmp_path):
+    """Interrupted+resumed ensemble == uninterrupted ensemble, bit for
+    bit (each member's field, counters, and full trace)."""
+    import numpy as np
+
+    from chsimpy_tpu import material
+    from chsimpy_tpu.checkpoint import (restore_ensemble,
+                                        save_ensemble_checkpoint)
+    from chsimpy_tpu.ensemble import EnsembleSolver
+
+    def params():
+        p = ct.Parameters()
+        p.N = 32
+        p.ntmax = 40
+        p.no_gui = True
+        p.full_sim = True
+        p.generator = 'uniform'
+        p.jitter = 0.01  # host stream position must survive the resume
+        p.kappa_tilde = 2.98911291966116e-4
+        return p
+
+    A0 = material.A0(923.15)
+    A1 = material.A1(923.15)
+    pairs = np.array([[A0, A1], [A0 * 1.004, A1 * 0.997]])
+
+    # reference run: 40 steps with a resume boundary at 20, so both paths
+    # recompute the spectral image at the same entry points (the
+    # reference-inherited entry semantic, chsimpy/solver.py:159)
+    full = EnsembleSolver(params(), pairs)
+    full.prepare()
+    full.solve_or_resume(20)
+    sols_full = full.solve_or_resume(20)
+
+    part = EnsembleSolver(params(), pairs)
+    part.prepare()
+    part.solve_or_resume(20)
+    f = tmp_path / 'ens.ckpt.npz'
+    save_ensemble_checkpoint(str(f), part)
+
+    resumed = restore_ensemble(str(f))
+    sols_res = resumed.solve_or_resume(20)
+
+    for a, b in zip(sols_full, sols_res):
+        assert a.computed_steps == b.computed_steps
+        np.testing.assert_array_equal(np.asarray(a.U), np.asarray(b.U))
+        np.testing.assert_array_equal(a.timedata.data(), b.timedata.data())
