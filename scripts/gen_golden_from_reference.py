@@ -8,8 +8,8 @@ e.g.
         N=64 ntmax=100 full_sim=True generator=sobol jitter=0.01
 
 The reference at /root/reference needs two missing deps shimmed
-(ruamel.yaml, opensimplex); the shims live in /tmp/refshim (see
-tests/golden/README note in CLAUDE.md).  The opensimplex shim is backed by
+(ruamel.yaml, opensimplex); the shims live in scripts/refshim/ (committed,
+see its README).  The opensimplex shim is backed by
 chsimpy_tpu.noise, which is equivalence-anchored against the package's
 published algorithm — acceptable for goldens because the simplex field is
 an *input* whose generation both sides must agree on, not solver output.
@@ -23,7 +23,7 @@ import json
 import os
 import sys
 
-SHIM = '/tmp/refshim'
+SHIM = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'refshim')
 REF = '/root/reference'
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

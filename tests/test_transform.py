@@ -222,3 +222,28 @@ def test_ensemble_fft_matches_matmul():
         assert x.computed_steps == y.computed_steps
         np.testing.assert_allclose(np.asarray(x.U), np.asarray(y.U),
                                    rtol=0, atol=1e-11)
+
+
+def test_split_route_adaptive_time():
+    """Adaptive-dt mode rebuilds CHeig/Seig on device from the eigenvalue
+    grid each step; under the split route that grid lives in the PERMUTED
+    basis — the rebuilt coefficients must stay consistent with the
+    permuted transforms (trajectory matches the matmul route)."""
+    def run(tb):
+        p = ct.Parameters()
+        p.N = 64
+        p.ntmax = 250
+        p.no_gui = True
+        p.update_every = None
+        p.full_sim = True
+        p.adaptive_time = True
+        p.generator = 'lcg'
+        p.kappa_tilde = 2.98911291966116e-4
+        p.transform_backend = tb
+        sol = ct.Simulator(p).solve()
+        return np.asarray(sol.timedata.data())
+
+    ta = run('matmul')
+    tb_ = run('split')
+    np.testing.assert_allclose(ta[:, 1], tb_[:, 1], rtol=1e-10)   # E
+    np.testing.assert_allclose(ta[:, 8], tb_[:, 8], rtol=1e-7)    # delt
