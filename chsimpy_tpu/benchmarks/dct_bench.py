@@ -85,6 +85,22 @@ def _roundtrip_fns(N, dtype):
             tree, precision=jax.lax.Precision.HIGH)
     fns['split2perm-high'] = chain(body_perm, tree2)
 
+    # the pre-round-2.5 form of the permuted route: second 1-D pass via
+    # full-field transpose + row application (A/B control for the
+    # transpose-free right application above)
+    def body_perm_tr(x, C, tree):
+        prec = jax.lax.Precision.HIGH
+
+        def f2d(u):
+            X = dct_ops._apply_split_perm(tree, u, prec)
+            return dct_ops._apply_split_perm(tree, X.T, prec).T
+
+        def i2d(X):
+            u = dct_ops._apply_split_t_perm(tree, X, prec)
+            return dct_ops._apply_split_t_perm(tree, u.T, prec).T
+        return i2d(f2d(x))
+    fns['split2permT-high'] = chain(body_perm_tr, tree2)
+
     if jnp.dtype(dtype) == jnp.float32:
         from ..ops import pallas_kernels as pk
         fns['pallas'] = chain(
@@ -120,8 +136,12 @@ def main(argv=None):
     ap.add_argument('--sizes', default='2048,4096,8192')
     ap.add_argument('--dtypes', default='float32,float64')
     ap.add_argument('--reps', type=int, default=10)
+    ap.add_argument('--routes', default=None,
+                    help='comma-separated route-name substrings to run '
+                         '(default: all)')
     ap.add_argument('--out', default=None, help='write JSON results here')
     args = ap.parse_args(argv)
+    route_filter = args.routes.split(',') if args.routes else None
 
     backend = jax.default_backend()
     print(f"# backend: {backend}, devices: {jax.devices()}")
@@ -132,6 +152,9 @@ def main(argv=None):
                 np.random.default_rng(0).random((N, N)), dtype)
             C = dct_ops.dct_matrix(N, dtype)
             for name, fn in _roundtrip_fns(N, dtype).items():
+                if route_filter and not any(s in name
+                                            for s in route_filter):
+                    continue
                 try:
                     med, best = time_route(fn, x, C, args.reps)
                     err = accuracy_route(fn, x, C)

@@ -267,11 +267,47 @@ def split_permute_grid(G: np.ndarray, N: int, levels: int) -> np.ndarray:
     return np.asarray(G)[np.ix_(p, p)]
 
 
+def _mm_nt(x, m, precision):
+    """x @ m^T without materializing the transpose: contract x's last axis
+    with m's axis 1 via dot_general (XLA folds the layout into the MXU
+    pass; an explicit ``m.T`` costs a relayout of the block)."""
+    return jax.lax.dot_general(
+        x, m, (((x.ndim - 1,), (1,)), ((), ())), precision=precision)
+
+
+def _apply_split_perm_right(tree, x, precision):
+    """x @ (P·C_block)^T — the column-axis twin of
+    :func:`_apply_split_perm` (folds and block order along the LAST
+    axis).  Lets the 2-D transform run rows-then-columns with no
+    full-field transposes."""
+    if not isinstance(tree, tuple):
+        return _mm_nt(x, tree, precision)
+    n = x.shape[-1]
+    top, bot = x[..., :n // 2], x[..., n // 2:][..., ::-1]
+    even = _apply_split_perm_right(tree[0], top + bot, precision)
+    odd = _mm_nt(top - bot, tree[1], precision)
+    return jnp.concatenate([even, odd], axis=-1)
+
+
+def _apply_split_t_perm_right(tree, y, precision):
+    """y @ (C_block^T · P^T)^T = y @ P·C_block — inverse of
+    :func:`_apply_split_perm_right` along the last axis."""
+    if not isinstance(tree, tuple):
+        return jnp.matmul(y, tree, precision=precision)
+    n2 = y.shape[-1] // 2
+    u = _apply_split_t_perm_right(tree[0], y[..., :n2], precision)
+    v = jnp.matmul(y[..., n2:], tree[1], precision=precision)
+    return jnp.concatenate([u + v, (u - v)[..., ::-1]], axis=-1)
+
+
 def dct2_split_perm(U, tree, precision=jax.lax.Precision.HIGHEST,
                     constrain=lambda x: x):
-    """2-D DCT-II into the permuted spectral basis."""
+    """2-D DCT-II into the permuted spectral basis.  Rows via the left
+    (axis-0) application, columns via the right (axis-1) application —
+    no full-field transposes (two 67 MB relayouts saved per call at
+    N=4096 vs the transpose-and-reapply form)."""
     X = _apply_split_perm(tree, U, precision)
-    return _apply_split_perm(tree, constrain(X).T, precision).T
+    return _apply_split_perm_right(tree, constrain(X), precision)
 
 
 def idct2_split_perm(X, tree, precision=jax.lax.Precision.HIGHEST,
@@ -279,7 +315,7 @@ def idct2_split_perm(X, tree, precision=jax.lax.Precision.HIGHEST,
     """Inverse from the permuted spectral basis (exact inverse of
     :func:`dct2_split_perm`)."""
     U = _apply_split_t_perm(tree, X, precision)
-    return _apply_split_t_perm(tree, constrain(U).T, precision).T
+    return _apply_split_t_perm_right(tree, constrain(U), precision)
 
 
 def idct2_split(X, tree, precision=jax.lax.Precision.HIGHEST,
