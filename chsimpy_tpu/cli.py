@@ -99,9 +99,11 @@ FLAGS = [
     Flag(('--transform',), 'TPU',
          '2-D DCT route: matmul (MXU, shards under --mesh), split '
          '(folded matmul, ~1.5x faster on one chip at N>=1024), fft '
-         '(Makhoul rFFT); auto picks per precision/N/mesh',
+         '(Makhoul rFFT), ozaki (float64 via exact int8 MXU passes, the '
+         'fast TPU validation transform); auto picks per precision/N/mesh',
          param='transform_backend',
-         choices=['auto', 'matmul', 'split', 'fft'], default='auto'),
+         choices=['auto', 'matmul', 'split', 'fft', 'ozaki'],
+         default='auto'),
     Flag(('--matmul-precision',), 'TPU',
          'MXU pass count for the float32 DCT matmuls (highest=6-pass bf16 '
          '~f32; high=3-pass ~2x faster, same measured trace quality; '

@@ -50,24 +50,33 @@ def resolve_transform(params: Parameters) -> str:
     if tb == 'auto':
         if params.mesh_shape is not None:
             return 'matmul'  # sharded contraction: local matmul + collective
+        if (params.precision == 'float64'
+                and jax.default_backend() == 'tpu' and params.N >= 256):
+            # emulated-f64 matmuls are 85% of the TPU f64 step; the Ozaki
+            # int8-slice route replaces them with exact MXU int8 passes
+            # (faster AND more accurate than the emulation — ops/ozaki.py,
+            # PERFORMANCE.md).  The CPU backend keeps matmul — it is the
+            # bit-level validated contract path.
+            return 'ozaki'
         if params.N >= SPLIT_MIN_N and params.N % 4 == 0:
             if params.precision == 'float32':
                 return 'split'
             if jax.default_backend() == 'tpu':
-                # emulated-f64 matmuls dominate the TPU f64 step and scale
-                # with FLOPs (274 -> 165 ms at N=4096, PERFORMANCE.md);
-                # the CPU backend keeps matmul — it is the bit-level
-                # validated contract path
                 return 'split'
         return 'matmul'
-    if tb in ('fft', 'split'):
+    if tb in ('fft', 'split', 'ozaki'):
         if params.mesh_shape is not None:
             raise ValueError(
                 f"--transform {tb} does not shard under --mesh; the "
                 "distributed transform is the matmul route")
-        if params.N % 2:
+        if tb != 'ozaki' and params.N % 2:
             raise ValueError(f"--transform {tb} requires even N "
                              f"(got {params.N})")
+    if tb == 'ozaki' and params.precision != 'float64':
+        raise ValueError(
+            "--transform ozaki is the float64 transform (int8 slice "
+            "decomposition of the double-single representation); float32 "
+            "runs use --transform split or matmul")
     if tb == 'fft' and (params.precision == 'float64'
                         and jax.default_backend() == 'tpu'):
         raise ValueError(

@@ -38,6 +38,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops import coeffs as coeffs_ops
 from ..ops import dct as dct_ops
+from ..ops import ozaki as ozaki_ops
 from ..ops.stencil import gradient2d
 from .state import (STOP_ENERGY, STOP_NAN, STOP_NONE, STOP_TIME_LIMIT,
                     SolverState)
@@ -80,7 +81,9 @@ class StepConfig:
     # PERFORMANCE.md): 'matmul' (MXU C·U·Cᵀ; shards under a mesh),
     # 'split' (folded-matmul decimation — ~1.5x the matmul at N>=1024 f32;
     # single-device/ensemble paths), 'fft' (Makhoul rFFT; loses to the MXU
-    # on TPU, kept for CPU f64 and as a measured alternative)
+    # on TPU, kept for CPU f64 and as a measured alternative), 'ozaki'
+    # (float64 only: exact int8-slice MXU passes — the fast TPU f64
+    # validation transform, see ops/ozaki.py)
     transform_backend: str = 'matmul'
     split_levels: int = 2       # fold depth of the 'split' route
     # MXU precision for the DCT matmuls in float32 mode: 'highest' (6-pass
@@ -109,7 +112,14 @@ def make_consts(cfg: StepConfig, delt: float,
     A0 = cfg.A0 if A0 is None else A0
     A1 = cfg.A1 if A1 is None else A1
     kt = cfg.kappa_tilde if kappa_tilde is None else kappa_tilde
-    C = dct_ops.dct_matrix(cfg.N, dtype)
+    if cfg.transform_backend == 'ozaki':
+        # int8 slice stacks of C / C^T instead of the f64 matrix (saves
+        # the 8x-larger emulated-f64 upload; the route never touches C)
+        C = jnp.zeros((0,), dtype)
+        Cs, CsT, _ = ozaki_ops.dct_slices(cfg.N)
+    else:
+        C = dct_ops.dct_matrix(cfg.N, dtype)
+        Cs = CsT = jnp.zeros((0,), jnp.int8)
     leig = coeffs_ops.eigenvalues(cfg.N, dtype)
     if cfg.transform_backend == 'split':
         # the split route works in a PERMUTED spectral basis (block order
@@ -124,14 +134,15 @@ def make_consts(cfg: StepConfig, delt: float,
         tree = ()
     CHeig, Seig = coeffs_ops.get_coefficients(
         leig, jnp.asarray(kt, dtype), jnp.asarray(delt, dtype), cfg.delx2)
-    return {'C': C, 'leig': leig, 'tree': tree,
+    return {'C': C, 'Cs': Cs, 'CsT': CsT, 'leig': leig, 'tree': tree,
             'CHeig': CHeig.astype(dtype), 'Seig': Seig.astype(dtype),
             'A0': jnp.asarray(A0, jnp.float64),
             'A1': jnp.asarray(A1, jnp.float64),
             'kappa_tilde': jnp.asarray(kt, jnp.float64)}
 
 
-CONSTS_BATCH_AXES = {'C': None, 'leig': None, 'tree': None, 'CHeig': 0,
+CONSTS_BATCH_AXES = {'C': None, 'Cs': None, 'CsT': None, 'leig': None,
+                     'tree': None, 'CHeig': 0,
                      'Seig': None, 'A0': 0, 'A1': 0, 'kappa_tilde': 0}
 
 
@@ -333,6 +344,14 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
             hat_E = dct_ops.dct2_fft(EnergieEut, constrain=constrain)
             hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
             U = dct_ops.idct2_fft(hat_U, constrain=constrain)
+        elif cfg.transform_backend == 'ozaki':
+            sc = ozaki_ops.dct_scale(cfg.N)
+            hat_E = ozaki_ops.dct2_ozaki(EnergieEut, consts['Cs'],
+                                         consts['CsT'], sc,
+                                         constrain=constrain)
+            hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
+            U = ozaki_ops.idct2_ozaki(hat_U, consts['Cs'], consts['CsT'],
+                                      sc, constrain=constrain)
         else:
             prec = cfg.mm_precision
             hat_E = dct_ops.dct2(EnergieEut, C, precision=prec,
@@ -462,6 +481,9 @@ def make_entry_dct2(cfg: StepConfig):
         return lambda U, consts: dct_ops.dct2_split_perm(U, consts['tree'])
     if cfg.transform_backend == 'fft':
         return lambda U, consts: dct_ops.dct2_fft(U)
+    if cfg.transform_backend == 'ozaki':
+        return lambda U, consts: ozaki_ops.dct2_ozaki(
+            U, consts['Cs'], consts['CsT'], ozaki_ops.dct_scale(cfg.N))
     return lambda U, consts: dct_ops.dct2(U, consts['C'])
 
 

@@ -153,7 +153,8 @@ class EnsembleSolver:
         # pathologically slowly on the TPU compile service
         CHeig_b = jax.jit(jax.vmap(member_coeffs,
                                    in_axes=(None, 0)))(leig, kts)
-        return {'C': base['C'], 'leig': leig, 'tree': base['tree'],
+        return {'C': base['C'], 'Cs': base['Cs'], 'CsT': base['CsT'],
+                'leig': leig, 'tree': base['tree'],
                 'CHeig': CHeig_b, 'Seig': base['Seig'],
                 'A0': jnp.asarray(self.A0s),
                 'A1': jnp.asarray(self.A1s),

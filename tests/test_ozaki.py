@@ -1,0 +1,144 @@
+"""Ozaki int8-slice f64 transform (ops/ozaki.py): exactness of the slice /
+renormalize machinery, transform accuracy vs scipy, and solver-trajectory
+equivalence with the matmul route.  All on the CPU backend — int8 dots are
+exact on every backend, so CPU pins the same arithmetic the TPU runs."""
+
+import numpy as np
+import pytest
+import scipy.fftpack
+
+import jax.numpy as jnp
+
+import chsimpy_tpu as ct
+from chsimpy_tpu.ops import dct as dct_ops
+from chsimpy_tpu.ops import ozaki
+
+
+def test_slice_matrix_host_exact():
+    C = dct_ops._dct_matrix_np(64)
+    slices, scale = ozaki.slice_matrix_host(C)
+    rec = sum(s.astype(np.float64) * 2.0 ** (-7 * (k + 1))
+              for k, s in enumerate(slices)) * scale
+    # 8 slices = 56 bits from the scale top; C entries are O(scale/4)
+    assert np.max(np.abs(rec - C)) <= 2.0 ** -56 * scale
+    assert all(np.abs(s).max() <= 64 for s in slices)
+
+
+def test_slice_field_roundtrip():
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((128, 128)) - 0.5, jnp.float64)
+    sl, scale = ozaki.slice_field(x)
+    sl = np.asarray(sl).astype(np.float64)
+    rec = sum(sl[k] * 2.0 ** (-7 * (k + 1)) for k in range(sl.shape[0]))
+    rec = rec * float(scale)
+    # hi/lo-f32 capture: >= 48 bits on a true-f64 host (the TPU's
+    # double-single holds ~49, fully captured there)
+    np.testing.assert_allclose(rec, np.asarray(x), rtol=0, atol=2.0 ** -49)
+    assert np.abs(sl).max() <= 127
+
+
+def test_slice_field_zero_field():
+    sl, scale = ozaki.slice_field(jnp.zeros((16, 16), jnp.float64))
+    assert np.all(np.asarray(sl) == 0)
+    assert np.isfinite(float(scale)) and float(scale) > 0
+
+
+def test_renorm_exact():
+    """Carry renormalization preserves the value bit-for-bit (checked in
+    exact integer arithmetic via Fractions)."""
+    from fractions import Fraction
+    rng = np.random.default_rng(3)
+    # magnitudes representative of stage-1 groups (up to ~2e8)
+    groups = [jnp.asarray(rng.integers(-2 * 10**8, 2 * 10**8, (4, 4)),
+                          jnp.int32) for _ in range(8)]
+    # scale down high groups so the value fits the t-slice capacity the
+    # transform guarantees (|V * 2^-14| < 0.25)
+    groups[0] = groups[0] // (1 << 14)
+    t = np.asarray(ozaki._renorm_to_slices(groups, n_slices=12)
+                   ).astype(np.int64)
+    for idx in np.ndindex(4, 4):
+        v = sum(Fraction(int(np.asarray(g)[idx]), 128 ** (k + 2))
+                for k, g in enumerate(groups))
+        w = sum(Fraction(int(t[j][idx]), 128 ** (j + 1))
+                for j in range(12))
+        assert v * Fraction(1, 2 ** 14) == w, idx
+
+
+@pytest.mark.parametrize('N', [64, 129, 256])
+def test_dct2_ozaki_matches_scipy(N):
+    rng = np.random.default_rng(N)
+    U = rng.random((N, N)) - 0.5
+    Cs, CsT, sc = ozaki.dct_slices(N)
+    got = np.asarray(ozaki.dct2_ozaki(jnp.asarray(U), Cs, CsT, sc))
+    ref = scipy.fftpack.dctn(U, norm='ortho')
+    den = np.max(np.abs(ref))
+    # floor on a true-f64 host is the 48-bit hi/lo-f32 capture of
+    # slice_field (~1e-14); on TPU the double-single representation holds
+    # ~49 bits, all captured, so the route matches its emulated-f64
+    # baseline there (measured better: PERFORMANCE.md)
+    assert np.max(np.abs(got - ref)) / den < 5e-14
+
+
+@pytest.mark.parametrize('N', [64, 256])
+def test_idct2_ozaki_roundtrip(N):
+    rng = np.random.default_rng(N + 1)
+    U = rng.random((N, N))
+    Cs, CsT, sc = ozaki.dct_slices(N)
+    X = ozaki.dct2_ozaki(jnp.asarray(U), Cs, CsT, sc)
+    back = np.asarray(ozaki.idct2_ozaki(X, Cs, CsT, sc))
+    # two chained transforms on a U with a large DC component (mean ~0.5):
+    # ~1e-13 absolute at N=256 on the CPU's 48-bit slice capture
+    np.testing.assert_allclose(back, U, rtol=0, atol=1e-12)
+    # and against scipy's inverse
+    ref = scipy.fftpack.idctn(np.asarray(X), norm='ortho')
+    np.testing.assert_allclose(np.asarray(back), ref, rtol=0, atol=1e-12)
+
+
+def _run(tb, adaptive=False):
+    p = ct.Parameters()
+    p.N = 64
+    p.ntmax = 250
+    p.no_gui = True
+    p.update_every = None
+    p.full_sim = True
+    p.adaptive_time = adaptive
+    p.generator = 'lcg'
+    p.kappa_tilde = 2.98911291966116e-4
+    p.precision = 'float64'
+    p.transform_backend = tb
+    sol = ct.Simulator(p).solve()
+    return np.asarray(sol.timedata.data())
+
+
+def test_solver_trajectory_matches_matmul():
+    """The full 250-step f64 trajectory through the ozaki route stays
+    within the validation contract (<=1e-10 relative in E) of the matmul
+    route — transform error ~1e-15 does not amplify."""
+    ta = _run('matmul')
+    tb = _run('ozaki')
+    np.testing.assert_allclose(ta[:, 1], tb[:, 1], rtol=1e-12)  # E
+    np.testing.assert_allclose(ta[:, 2], tb[:, 2], rtol=1e-9)   # E2
+    np.testing.assert_allclose(ta[:, 3], tb[:, 3], rtol=0, atol=1e-9)  # SA
+
+
+def test_solver_trajectory_adaptive():
+    ta = _run('matmul', adaptive=True)
+    tb = _run('ozaki', adaptive=True)
+    np.testing.assert_allclose(ta[:, 1], tb[:, 1], rtol=1e-10)  # E
+    np.testing.assert_allclose(ta[:, 8], tb[:, 8], rtol=1e-7)   # delt
+
+
+def test_ozaki_rejects_float32():
+    p = ct.Parameters()
+    p.precision = 'float32'
+    p.transform_backend = 'ozaki'
+    with pytest.raises(ValueError, match='float64'):
+        ct.core.solver.resolve_transform(p)
+
+
+def test_ozaki_rejects_mesh():
+    p = ct.Parameters()
+    p.transform_backend = 'ozaki'
+    p.mesh_shape = (2, 2)
+    with pytest.raises(ValueError, match='mesh'):
+        ct.core.solver.resolve_transform(p)
