@@ -105,6 +105,16 @@ def _roundtrip_fns(N, dtype):
         from ..ops import pallas_kernels as pk
         fns['pallas'] = chain(
             lambda x, C: pk.idct2_pallas(pk.dct2_pallas(x, C), C))
+
+    if jnp.dtype(dtype) == jnp.float64:
+        # exact int8-slice MXU route (the TPU f64 production default)
+        from ..ops import ozaki
+        Cs, CsT, sc = ozaki.dct_slices(N)
+
+        def body_oz(x, C, Cs, CsT):
+            return ozaki.idct2_ozaki(
+                ozaki.dct2_ozaki(x, Cs, CsT, sc), Cs, CsT, sc)
+        fns['ozaki-int8'] = chain(body_oz, Cs, CsT)
     return fns
 
 
