@@ -162,11 +162,18 @@ class Solver:
         # optional 2-D grid sharding over a device mesh
         self.mesh = None
         if params.mesh_shape is not None:
-            if params.kernel_backend == 'pallas':
-                raise ValueError("kernel_backend='pallas' does not support "
-                                 "grid sharding yet; use 'xla' with --mesh")
             from ..parallel.mesh import make_grid_mesh
             self.mesh = make_grid_mesh(params.mesh_shape)
+            if params.kernel_backend == 'pallas':
+                # the banded kernels run per shard (shard_map + halo
+                # exchange); local blocks must tile to the (8, 128) VPU
+                # geometry
+                mx, my = params.mesh_shape
+                if N % (mx * 8) or N % my:
+                    raise ValueError(
+                        f"kernel_backend='pallas' with mesh {mx}x{my} "
+                        f"needs N divisible by {mx * 8} (8-row bands per "
+                        f"x-shard) and by {my}; got N={N}")
 
         # chunk size: device steps per host round-trip
         self.chunk_size = max(1, int(params.chunk_size))

@@ -146,12 +146,15 @@ CONSTS_BATCH_AXES = {'C': None, 'Cs': None, 'CsT': None, 'leig': None,
                      'Seig': None, 'A0': 0, 'A1': 0, 'kappa_tilde': 0}
 
 
-def _nonlinear_term(cfg: StepConfig, consts, U):
+def _nonlinear_term(cfg: StepConfig, consts, U, mesh=None):
     """Shifted nonlinear chemical potential EnergieEut (solver.py:168-175)."""
     if cfg.kernel_backend == 'pallas':
         # traced per-member scalars ride into the kernel via SMEM (the
         # vmapped ensemble perturbs A0/A1 per member)
         from ..ops import pallas_kernels as pk
+        if mesh is not None:
+            return pk.chemical_potential_sharded(
+                mesh, U, cfg.RT, cfg.BRT, consts['A0'], consts['A1'])
         return pk.chemical_potential(U, cfg.RT, cfg.BRT,
                                      consts['A0'], consts['A1'])
     dtype = U.dtype
@@ -218,7 +221,7 @@ def _stats_fast(cfg: StepConfig, consts, U, EnergieEut):
     return E, E2, PS, L2, Ra, SA
 
 
-def _stats(cfg: StepConfig, consts, U, EnergieEut=None):
+def _stats(cfg: StepConfig, consts, U, EnergieEut=None, mesh=None):
     """Energy functionals and field statistics (solver.py:213-228).
     Returns f64 scalars (row entries) regardless of field dtype.
     ``EnergieEut=None`` (prepare path) yields L2 = 0 without materializing a
@@ -231,6 +234,11 @@ def _stats(cfg: StepConfig, consts, U, EnergieEut=None):
         # pass + one |U-mean| pass (the measured Pallas win — the XLA
         # chain costs ~1.7 ms at N=4096 f32, see PERFORMANCE.md)
         from ..ops import pallas_kernels as pk
+        if mesh is not None:
+            return pk.fused_stats_sharded(
+                mesh, U, EnergieEut, consts['A0'], consts['A1'],
+                consts['kappa_tilde'], delx=cfg.delx, RT=cfg.RT, B=cfg.B,
+                Amr=cfg.Amr, L=cfg.L, threshold=cfg.threshold)
         return pk.fused_stats(
             U, EnergieEut, consts['A0'], consts['A1'],
             consts['kappa_tilde'], delx=cfg.delx, RT=cfg.RT, B=cfg.B,
@@ -282,10 +290,10 @@ def _grid_constrainer(mesh, axes=('x', 'y')):
 
 
 def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
-          constrain=lambda x: x):
+          constrain=lambda x: x, mesh=None):
     dtype = cfg.jdtype
     U = state.U
-    EnergieEut = constrain(_nonlinear_term(cfg, consts, U))
+    EnergieEut = constrain(_nonlinear_term(cfg, consts, U, mesh))
 
     # --- adaptive time stepping (solver.py:177-193) ---
     if cfg.adaptive_time:
@@ -368,7 +376,7 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
             U = U + cfg.jitter * (2.0 * r - 1.0)
         U = constrain(U)
 
-        E, E2, PS, L2, Ra, SA = _stats(cfg, consts, U, EnergieEut)
+        E, E2, PS, L2, Ra, SA = _stats(cfg, consts, U, EnergieEut, mesh)
         domtime = time_passed ** (1.0 / 3.0)
         it = state.computed_steps  # row stores the pre-increment count
         row = jnp.stack([it.astype(jnp.float64), E, E2, SA, domtime,
@@ -405,9 +413,11 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
     return lax.cond(time_passed > cfg.time_limit, abort, proceed, state)
 
 
-def _chunk_body(cfg: StepConfig, constrain):
+def _chunk_body(cfg: StepConfig, constrain, mesh=None):
     """Raw (unjitted) chunk runner: up to ``n_iters`` steps under an
-    on-device while_loop, stopping early when stop_reason != 0."""
+    on-device while_loop, stopping early when stop_reason != 0.  ``mesh``
+    is only passed for the Pallas-kernel sharded path (shard_map regions
+    need the concrete mesh; the XLA path shards via GSPMD constraints)."""
     use_stream = cfg.jitter_mode == 'stream'
     use_static = cfg.jitter_mode == 'static'
 
@@ -424,7 +434,7 @@ def _chunk_body(cfg: StepConfig, constrain):
                 slab = jitter_buf
             else:
                 slab = None
-            return _step(cfg, consts, s, slab, constrain), i + 1
+            return _step(cfg, consts, s, slab, constrain, mesh), i + 1
 
         state, _ = lax.while_loop(cond, body,
                                   (state, jnp.asarray(0, jnp.int32)))
@@ -437,8 +447,11 @@ def make_chunk_runner(cfg: StepConfig, mesh=None):
     """Jitted ``run(state, n_iters, consts, jitter_buf) -> state``.
     ``n_iters`` is traced, so chunk after chunk reuses one executable.
     With ``mesh``, (N, N) arrays are pinned to the 2-D P('x','y') grid
-    sharding (distributed matmul-DCT via XLA collectives)."""
-    run = _chunk_body(cfg, _grid_constrainer(mesh))
+    sharding (distributed matmul-DCT via XLA collectives); the Pallas
+    kernel backend additionally runs its kernels per-shard under
+    shard_map with halo exchange."""
+    pallas_mesh = mesh if cfg.kernel_backend == 'pallas' else None
+    run = _chunk_body(cfg, _grid_constrainer(mesh), pallas_mesh)
     return jax.jit(run, donate_argnums=(0,))
 
 

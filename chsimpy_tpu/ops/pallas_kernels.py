@@ -316,8 +316,9 @@ def fused_stats(U, EnergieEut, A0, A1, kappa_tilde, *,
 
 
 def absdev_band_sums(U, mean):
-    """(nbands, 8) partial sums of |U - mean| (PS second pass)."""
-    N = U.shape[0]
+    """(nbands, 8) partial sums of |U - mean| (PS second pass).  Handles
+    non-square blocks (the sharded path feeds one shard's local block)."""
+    N, W = U.shape
     tn = _band_tile(N)
     nb = N // tn
     scal = jnp.asarray(mean, U.dtype).reshape(1)
@@ -328,7 +329,7 @@ def absdev_band_sums(U, mean):
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((tn, N), lambda b: (b, jnp.int32(0)),
+            pl.BlockSpec((tn, W), lambda b: (b, jnp.int32(0)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -336,3 +337,183 @@ def absdev_band_sums(U, mean):
             dimension_semantics=('arbitrary',)),
         interpret=_interpret(),
     )(scal, U)
+
+
+# ----------------------------------------------------------------------
+# grid-sharded variants (shard_map + halo exchange): `--kernels pallas`
+# composed with `--mesh`.  The banded stats kernel runs per shard on its
+# local block; the np.gradient stencil's neighbor rows/columns arrive by
+# ppermute along the mesh axes (edge-replicated at the global boundary),
+# and the (8, 128) partial-sum tiles combine with one psum.  The
+# reference has no analogue (single-process NumPy); the XLA path gets
+# the same result from GSPMD auto-partitioning.
+# ----------------------------------------------------------------------
+
+def _stats_band_kernel_sh(N, tn, W, delx, RT, B, threshold,
+                          ioff_ref, scal_ref, up_ref, u_ref, dn_ref,
+                          lf_ref, rt_ref, eut_ref, out_ref):
+    """Shard-local variant of :func:`_stats_band_kernel`: all four
+    neighbor views (rows r-1/r+1, cols c-1/c+1) are pre-built operands
+    (the halos crossed shard boundaries before the call), and the global
+    row/col offsets of this shard ride in SMEM so the one-sided
+    np.gradient edge stencil still keys on GLOBAL indices."""
+    b = pl.program_id(0)
+    row_off = ioff_ref[0]
+    col_off = ioff_ref[1]
+    A0 = scal_ref[0]
+    A1 = scal_ref[1]
+    U = u_ref[:]
+
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (tn, W), 0)
+            + b * tn + row_off)
+    up = up_ref[:]
+    dn = dn_ref[:]
+    central = (dn - up) / (2.0 * delx)
+    fwd = (dn - U) / delx
+    bwd = (U - up) / delx
+    dux = jnp.where(rows == 0, fwd,
+                    jnp.where(rows == N - 1, bwd, central))
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tn, W), 1) + col_off
+    lf = lf_ref[:]
+    rt = rt_ref[:]
+    centralc = (rt - lf) / (2.0 * delx)
+    fwdc = (rt - U) / delx
+    bwdc = (U - lf) / delx
+    duy = jnp.where(cols == 0, fwdc,
+                    jnp.where(cols == N - 1, bwdc, centralc))
+
+    du2 = dux * dux + duy * duy
+    Uinv = 1.0 - U
+    integrand = (RT * (U * (jnp.log(U) - B) + Uinv * jnp.log(Uinv))
+                 + (A0 + A1 * (Uinv - U)) * U * Uinv)
+    E = eut_ref[:]
+    row = _pack_row([jnp.sum(integrand), jnp.sum(du2), jnp.sum(U),
+                     jnp.sum((U < threshold).astype(U.dtype)),
+                     jnp.sum(E * E)], U.dtype)
+
+    @pl.when(b == 0)
+    def _():
+        out_ref[:] = row
+
+    @pl.when(b != 0)
+    def _():
+        out_ref[:] = out_ref[:] + row
+
+
+def _local_band_sums(N, Ub, up, dn, lf, rt, Eb, A0, A1, row_off, col_off,
+                     *, delx, RT, B, threshold):
+    """pallas_call wrapper for one shard's banded partial sums."""
+    bn, W = Ub.shape
+    tn = _tile(bn, 128)
+    nb = bn // tn
+    ioff = jnp.stack([jnp.asarray(row_off, jnp.int32),
+                      jnp.asarray(col_off, jnp.int32)])
+    scal = jnp.stack([jnp.asarray(A0, Ub.dtype),
+                      jnp.asarray(A1, Ub.dtype)])
+    band = pl.BlockSpec((tn, W), lambda b: (b, jnp.int32(0)),
+                        memory_space=pltpu.VMEM)
+    kern = functools.partial(_stats_band_kernel_sh, N, tn, W, float(delx),
+                             float(RT), float(B), float(threshold))
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((8, 128), Ub.dtype),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            band, band, band, band, band, band,
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=_interpret(),
+    )(ioff, scal, up, Ub, dn, lf, rt, Eb)
+
+
+def _neighbor_views(Ub, axis_name, n_shards, axis):
+    """(prev-shifted, next-shifted) views of the local block along
+    ``axis``, with the boundary row/col fetched from the neighbor shard
+    via ppermute (edge-replicated at the global boundary)."""
+    idx = jax.lax.axis_index(axis_name)
+    if axis == 0:
+        last, first = Ub[-1:], Ub[:1]
+    else:
+        last, first = Ub[:, -1:], Ub[:, :1]
+    # value of shard i-1's last row -> shard i (shard 0 receives zeros)
+    prev_last = jax.lax.ppermute(
+        last, axis_name, [(i, i + 1) for i in range(n_shards - 1)])
+    next_first = jax.lax.ppermute(
+        first, axis_name, [(i + 1, i) for i in range(n_shards - 1)])
+    prev_last = jnp.where(idx == 0, first, prev_last)
+    next_first = jnp.where(idx == n_shards - 1, last, next_first)
+    if axis == 0:
+        up = jnp.concatenate([prev_last, Ub[:-1]], axis=0)
+        dn = jnp.concatenate([Ub[1:], next_first], axis=0)
+    else:
+        up = jnp.concatenate([prev_last, Ub[:, :-1]], axis=1)
+        dn = jnp.concatenate([Ub[:, 1:], next_first], axis=1)
+    return up, dn
+
+
+def fused_stats_sharded(mesh, U, EnergieEut, A0, A1, kappa_tilde, *,
+                        delx, RT, B, Amr, L, threshold):
+    """Grid-sharded :func:`fused_stats`: one shard_map region — halo
+    exchange (4 ppermutes of one edge row/col), per-shard banded kernel,
+    psum of the partial tiles, f64 finalization (replicated out)."""
+    N = U.shape[0]
+    nx = mesh.shape['x']
+    ny = mesh.shape['y']
+    n2 = float(N * N)
+    Lsq = L ** 2
+    from jax.sharding import PartitionSpec as P
+
+    def local(Ub, Eb, A0, A1, kt):
+        bn, W = Ub.shape
+        row_off = jax.lax.axis_index('x') * bn
+        col_off = jax.lax.axis_index('y') * W
+        up, dn = _neighbor_views(Ub, 'x', nx, 0)
+        lf, rt = _neighbor_views(Ub, 'y', ny, 1)
+        sums = _local_band_sums(N, Ub, up, dn, lf, rt, Eb, A0, A1,
+                                row_off, col_off, delx=delx, RT=RT, B=B,
+                                threshold=threshold)
+        tot = jax.lax.psum(sums[0].astype(jnp.float64), ('x', 'y'))
+        E2 = 0.5 * Amr * kt.astype(jnp.float64) * Lsq * (tot[1] / n2)
+        E = Amr * Lsq * (tot[0] / n2) + E2
+        SA = tot[3] / n2
+        L2 = jnp.sqrt(tot[4]) / n2
+        meanU = (tot[2] / n2).astype(Ub.dtype)
+        ps = absdev_band_sums(Ub, meanU)
+        PS = jax.lax.psum(ps[0, 0].astype(jnp.float64), ('x', 'y')) / n2
+        # mid-row statistic: the owning x-shard contributes its segment
+        rows = row_off + jnp.arange(bn)
+        mask = (rows == N // 2 + 1).astype(Ub.dtype)[:, None]
+        seg = jax.lax.psum(jnp.sum(Ub * mask, axis=0), 'x')   # (W,)
+        mid_mean = jax.lax.psum(jnp.sum(seg), 'y') / N
+        Ra = (jax.lax.psum(jnp.sum(jnp.abs(seg - mid_mean)), 'y')
+              / N).astype(jnp.float64)
+        return E, E2, PS, L2, Ra, SA
+
+    # check_vma=False: pallas_call inside shard_map cannot declare its
+    # output's varying-axes metadata (jax 0.9), so replication checking
+    # is disabled for this region (the psums above make it replicated)
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P('x', 'y'), P('x', 'y'), P(), P(), P()),
+        out_specs=(P(),) * 6,
+        check_vma=False)(U, EnergieEut, A0, A1,
+                         jnp.asarray(kappa_tilde, jnp.float64))
+
+
+def chemical_potential_sharded(mesh, U, RT, BRT, A0, A1):
+    """Grid-sharded :func:`chemical_potential` (pointwise — plain
+    shard_map, no halo)."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(Ub, A0, A1):
+        return chemical_potential(Ub, RT, BRT, A0, A1)
+
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(P('x', 'y'), P(), P()),
+                         out_specs=P('x', 'y'),
+                         check_vma=False)(U, A0, A1)

@@ -79,12 +79,64 @@ def test_solver_pallas_backend_matches_xla():
     np.testing.assert_allclose(pal.timedata.E, ref.timedata.E, rtol=1e-6)
 
 
-def test_pallas_plus_mesh_rejected():
+def test_pallas_mesh_needs_divisible_N():
     p = ct.Parameters()
+    p.N = 40   # 40 % (2*8) != 0 — bands would not tile the x-shards
     p.kernel_backend = 'pallas'
     p.mesh_shape = (2, 4)
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match='divisible'):
         ct.Solver(p)
+
+
+def _run_sharded(mesh_shape, precision):
+    p = ct.Parameters()
+    p.N = 64
+    p.ntmax = 25
+    p.no_gui = True
+    p.update_every = None
+    p.full_sim = True
+    p.generator = 'lcg'
+    p.precision = precision
+    p.kernel_backend = 'pallas'
+    p.kappa_tilde = 2.98911291966116e-4
+    p.mesh_shape = mesh_shape
+    return ct.Simulator(p).solve()
+
+
+@pytest.mark.parametrize('mesh_shape', [(2, 4), (2, 2)])
+def test_pallas_sharded_matches_unsharded_f64(mesh_shape):
+    """`--kernels pallas --mesh`: per-shard banded kernels under
+    shard_map + halo exchange must reproduce the single-device Pallas
+    trajectory (f64: only summation order differs)."""
+    ref = _run_sharded(None, 'float64')
+    sh = _run_sharded(mesh_shape, 'float64')
+    assert sh.computed_steps == ref.computed_steps
+    np.testing.assert_allclose(sh.U, ref.U, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(sh.timedata.E, ref.timedata.E, rtol=1e-12)
+    td_ref = ref.timedata.data()
+    td_sh = sh.timedata.data()
+    np.testing.assert_allclose(td_sh[:, 2], td_ref[:, 2], rtol=1e-10)  # E2
+    np.testing.assert_allclose(td_sh[:, 3], td_ref[:, 3], atol=0)      # SA
+
+
+def test_pallas_sharded_matches_xla_sharded_f32():
+    """The sharded Pallas path against the sharded XLA path (f32)."""
+    sh = _run_sharded((2, 4), 'float32')
+
+    p = ct.Parameters()
+    p.N = 64
+    p.ntmax = 25
+    p.no_gui = True
+    p.update_every = None
+    p.full_sim = True
+    p.generator = 'lcg'
+    p.precision = 'float32'
+    p.kappa_tilde = 2.98911291966116e-4
+    p.mesh_shape = (2, 4)
+    ref = ct.Simulator(p).solve()
+    assert sh.computed_steps == ref.computed_steps
+    np.testing.assert_allclose(sh.U, ref.U, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(sh.timedata.E, ref.timedata.E, rtol=1e-6)
 
 
 def test_fused_stats_matches_xla_stats():
