@@ -76,14 +76,16 @@ def _roundtrip_fns(N, dtype):
 
     # the production default: split with the interleave relayouts dropped
     # (permuted spectral basis — see ops/dct.py)
-    tree2 = dct_ops.split_tree(N, 2, dtype)
+    for lv in (1, 2, 3):
+        tree_p = dct_ops.split_tree(N, lv, dtype)
 
-    def body_perm(x, C, tree):
-        return dct_ops.idct2_split_perm(
-            dct_ops.dct2_split_perm(x, tree,
-                                    precision=jax.lax.Precision.HIGH),
-            tree, precision=jax.lax.Precision.HIGH)
-    fns['split2perm-high'] = chain(body_perm, tree2)
+        def body_perm(x, C, tree):
+            return dct_ops.idct2_split_perm(
+                dct_ops.dct2_split_perm(x, tree,
+                                        precision=jax.lax.Precision.HIGH),
+                tree, precision=jax.lax.Precision.HIGH)
+        fns[f'split{lv}perm-high'] = chain(body_perm, tree_p)
+    tree2 = dct_ops.split_tree(N, 2, dtype)
 
     # the pre-round-2.5 form of the permuted route: second 1-D pass via
     # full-field transpose + row application (A/B control for the

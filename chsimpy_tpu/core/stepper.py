@@ -85,7 +85,16 @@ class StepConfig:
     # (float64 only: exact int8-slice MXU passes — the fast TPU f64
     # validation transform, see ops/ozaki.py)
     transform_backend: str = 'matmul'
-    split_levels: int = 2       # fold depth of the 'split' route
+    # fold depth of the 'split' route; None resolves by size (measured,
+    # dct_bench: level 3 wins at N>=4096 — 4.95 vs 5.27 ms f32; level 2
+    # at 1024-2048; deeper folds lose to small-block MXU inefficiency)
+    split_levels: Optional[int] = None
+
+    @property
+    def split_levels_resolved(self) -> int:
+        if self.split_levels is not None:
+            return self.split_levels
+        return 3 if self.N >= 4096 and self.N % 8 == 0 else 2
     # MXU precision for the DCT matmuls in float32 mode: 'highest' (6-pass
     # bf16, ~f32 accuracy), 'high' (3-pass, ~2x faster), 'default' (1-pass
     # bf16 — too lossy for the spectral update; exposed for experiments)
@@ -128,8 +137,8 @@ def make_consts(cfg: StepConfig, delt: float,
         # leig once here keeps both the setup grids and the adaptive-mode
         # on-device rebuild consistent automatically.
         leig = jnp.asarray(dct_ops.split_permute_grid(
-            np.asarray(leig), cfg.N, cfg.split_levels), dtype)
-        tree = dct_ops.split_tree(cfg.N, cfg.split_levels, dtype)
+            np.asarray(leig), cfg.N, cfg.split_levels_resolved), dtype)
+        tree = dct_ops.split_tree(cfg.N, cfg.split_levels_resolved, dtype)
     else:
         tree = ()
     CHeig, Seig = coeffs_ops.get_coefficients(
