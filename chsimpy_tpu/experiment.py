@@ -181,17 +181,17 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
 
     results = []
     file_id = init_params.file_id
-    iterator = range(0, nr_items, width)
+    pbar = None
     if progress:
         try:
+            # per-RUN ticks with a memory postfix, like the reference's
+            # imap_unordered progress (experiment.py:211-216): each member
+            # ticks as its export/postprocessing completes
             from tqdm import tqdm
-            iterator = tqdm(list(iterator), desc='ensemble batches')
+            pbar = tqdm(total=nr_items, desc='ensemble runs')
         except ImportError:
             pass
-    for start in iterator:
-        if hasattr(iterator, 'set_postfix'):
-            # progress memory readout (reference experiment.py:212-214)
-            iterator.set_postfix({'Mem': sysinfo.get_mem_usage_all()})
+    for start in range(0, nr_items, width):
         stop = min(start + width, nr_items)
         batch_params = init_params.deepcopy()
         ens = EnsembleSolver(batch_params, A_pairs[start:stop],
@@ -208,6 +208,12 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
             fac1 = None if A_list is not None else facs[run_id, 1]
             results.append(postprocess_member(
                 init_params, sol, run_id, fac0, fac1))
+            if pbar is not None:
+                # memory readout per tick (reference experiment.py:212-214)
+                pbar.set_postfix({'Mem': sysinfo.get_mem_usage_all()})
+                pbar.update(1)
+    if pbar is not None:
+        pbar.close()
     return results
 
 
