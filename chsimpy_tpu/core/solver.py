@@ -157,6 +157,10 @@ class Solver:
             transform_backend=resolve_transform(params),
             matmul_precision=params.matmul_precision or (
                 'high' if params.precision == 'float32' else 'highest'),
+            # f64 on TPU: restructured stats keep the 1e-10 E contract
+            # (verified by on-chip golden replay); CPU f64 keeps the
+            # reference summation order (bit-level validation path)
+            fast_stats=jax.default_backend() == 'tpu',
         )
 
         # optional 2-D grid sharding over a device mesh

@@ -89,6 +89,12 @@ class StepConfig:
     # dct_bench: level 3 wins at N>=4096 — 4.95 vs 5.27 ms f32; level 2
     # at 1024-2048; deeper folds lose to small-block MXU inefficiency)
     split_levels: Optional[int] = None
+    # slice-wise restructured stat reductions (changes summation order vs
+    # the reference, ~1e-15 relative — fine for the 1e-10 E contract).
+    # Always on for f32; the solver enables it for f64 ONLY on TPU (the
+    # CPU f64 path is the bit-level validation contract and keeps the
+    # reference-order _stats)
+    fast_stats: bool = False
 
     @property
     def split_levels_resolved(self) -> int:
@@ -235,7 +241,8 @@ def _stats(cfg: StepConfig, consts, U, EnergieEut=None, mesh=None):
     Returns f64 scalars (row entries) regardless of field dtype.
     ``EnergieEut=None`` (prepare path) yields L2 = 0 without materializing a
     zeros array (a large HLO constant compiles pathologically on TPU)."""
-    if (cfg.kernel_backend == 'xla' and cfg.dtype == 'float32'
+    if (cfg.kernel_backend == 'xla'
+            and (cfg.dtype == 'float32' or cfg.fast_stats)
             and EnergieEut is not None):
         return _stats_fast(cfg, consts, U, EnergieEut)
     if cfg.kernel_backend == 'pallas' and EnergieEut is not None:

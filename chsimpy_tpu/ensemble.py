@@ -115,6 +115,10 @@ class EnsembleSolver:
             transform_backend=solver_mod.resolve_transform(params),
             matmul_precision=params.matmul_precision or (
                 'high' if params.precision == 'float32' else 'highest'),
+            # f64 on TPU: restructured stats keep the 1e-10 E contract
+            # (verified by on-chip golden replay); CPU f64 keeps the
+            # reference summation order (bit-level validation path)
+            fast_stats=jax.default_backend() == 'tpu',
         )
 
         self.chunk_size = max(1, int(params.chunk_size))
