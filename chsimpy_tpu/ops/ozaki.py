@@ -48,6 +48,18 @@ from .dct import _dct_matrix_np
 N_SLICES = 8        # 7 payload bits per slice -> 56 bits >= the ~49 the
                     # double-single emulation holds
 MAX_PAIR = 7        # keep slice products with i+j <= MAX_PAIR (36 passes)
+# Pass-count cutoffs.  Naive trimming is unsafe: on DC-DOMINATED
+# operands (the solver's hat_U!) the slice scale su is set by the DC
+# coefficient, pushing every other entry's bits deep into the slice
+# hierarchy, and the dropped products carry real precision (~100x error
+# on roundtrips).  The transforms therefore SPLIT OFF the DC component
+# analytically before slicing (dct2(ones) = N e00; idct2(e00) = ones/N)
+# — after that, the measured accuracy matrix (PERFORMANCE.md) shows
+# stage 1 <= 6 (28 passes) and stage 2 <= 8 (44) BEAT the previous
+# full-count no-split config on both forward error and roundtrip while
+# dropping 16 of 88 passes.
+STAGE1_PAIR = 6     # 28 passes
+STAGE2_PAIR = 8     # 44 passes
 RENORM_SHIFT = 14   # static headroom (2 slice slots) absorbing the 1-D
                     # transform's growth |C @ U| <= sqrt(N) max|U|; covers
                     # N/(16 sqrt 2) <= 2^12 i.e. every N <= 92681
@@ -203,12 +215,13 @@ def _transform2d(U, Ms_row, Ms_col, m_scale):
     dtype = U.dtype
     q = RENORM_SHIFT // 7
     Us, su = slice_field(U)
-    g1 = _pair_groups(Ms_row, Us, _dot_left)
+    g1 = _pair_groups(Ms_row, Us, _dot_left, max_pair=STAGE1_PAIR)
     # the 2^RENORM_SHIFT static headroom occupies the top q slots of the
-    # renormalized stack; emit q extra slices and extend the stage-2 pair
-    # cutoff by q so absolute resolution stays at the 2^-56 operand floor
+    # renormalized stack; emit q extra slices so the stage-2 input keeps
+    # the 2^-56 absolute resolution (the STAGE2_PAIR cutoff then trims
+    # only sub-floor products — see the constants above)
     t = _renorm_to_slices(g1, n_slices=N_SLICES + q)
-    g2 = _pair_groups(t, Ms_col, _dot_right, max_pair=MAX_PAIR + q)
+    g2 = _pair_groups(t, Ms_col, _dot_right, max_pair=STAGE2_PAIR)
     z = _horner_f64(g2, jnp.dtype(dtype).type)
     # total scale: (m_scale * su * 2^RENORM_SHIFT) from stage 1 * m_scale
     z = z * (su * jnp.asarray(
@@ -220,11 +233,25 @@ def _transform2d(U, Ms_row, Ms_col, m_scale):
 
 def dct2_ozaki(U, Cs, CsT, m_scale, constrain=lambda x: x):
     """Orthonormal 2-D DCT-II (C @ U @ C^T) via exact int8 passes.
-    Matches :func:`chsimpy_tpu.ops.dct.dct2` to ~1e-15 relative."""
-    return _transform2d(constrain(U), Cs, CsT, m_scale)
+    Matches :func:`chsimpy_tpu.ops.dct.dct2` to ~1e-15 relative.
+
+    The field's mean rides around the int8 path analytically
+    (dct2(ones) = N e00): subtracting it shrinks the slice scale by the
+    DC/fluctuation ratio, recovering deep-bit precision (see the cutoff
+    note above)."""
+    U = constrain(U)
+    N = U.shape[-1]
+    m = jnp.mean(U)
+    Y = _transform2d(U - m, Cs, CsT, m_scale)
+    return Y.at[0, 0].add(m * N)
 
 
 def idct2_ozaki(X, Cs, CsT, m_scale, constrain=lambda x: x):
     """Orthonormal 2-D DCT-III (C^T @ X @ C), inverse of
-    :func:`dct2_ozaki`."""
-    return _transform2d(constrain(X), CsT, Cs, m_scale)
+    :func:`dct2_ozaki`.  The DC coefficient is split off analytically
+    (idct2(e00) = ones/N) before slicing."""
+    X = constrain(X)
+    N = X.shape[-1]
+    d = X[0, 0]
+    u = _transform2d(X.at[0, 0].set(0.0), CsT, Cs, m_scale)
+    return u + d / N
