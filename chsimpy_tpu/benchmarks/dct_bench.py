@@ -75,8 +75,9 @@ def _roundtrip_fns(N, dtype):
             fns[f'split{lv}-{pname}'] = chain(body, tree)
 
     # the production default: split with the interleave relayouts dropped
-    # (permuted spectral basis — see ops/dct.py)
-    for lv in (1, 2, 3):
+    # (permuted spectral basis — see ops/dct.py); levels 4-5 matter at
+    # N>=4096 (level 4 is the measured resolver default there)
+    for lv in (1, 2, 3, 4, 5):
         tree_p = dct_ops.split_tree(N, lv, dtype)
 
         def body_perm(x, C, tree):

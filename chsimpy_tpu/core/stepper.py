@@ -86,8 +86,10 @@ class StepConfig:
     # validation transform, see ops/ozaki.py)
     transform_backend: str = 'matmul'
     # fold depth of the 'split' route; None resolves by size (measured,
-    # dct_bench: level 3 wins at N>=4096 — 4.95 vs 5.27 ms f32; level 2
-    # at 1024-2048; deeper folds lose to small-block MXU inefficiency)
+    # dct_bench f32 ms/roundtrip: N=4096 level3 5.40 / level4 4.74 /
+    # level5 4.89; N=8192 37.4 / 35.8 / 35.8; N=2048 level2 1.03 /
+    # level3 1.00; N=1024 level2 0.576 best — deeper folds lose to
+    # small-block MXU inefficiency below those sizes)
     split_levels: Optional[int] = None
     # slice-wise restructured stat reductions (changes summation order vs
     # the reference, ~1e-15 relative — fine for the 1e-10 E contract).
@@ -100,7 +102,11 @@ class StepConfig:
     def split_levels_resolved(self) -> int:
         if self.split_levels is not None:
             return self.split_levels
-        return 3 if self.N >= 4096 and self.N % 8 == 0 else 2
+        if self.N >= 4096 and self.N % 16 == 0:
+            return 4
+        if self.N >= 2048 and self.N % 8 == 0:
+            return 3
+        return 2
     # MXU precision for the DCT matmuls in float32 mode: 'highest' (6-pass
     # bf16, ~f32 accuracy), 'high' (3-pass, ~2x faster), 'default' (1-pass
     # bf16 — too lossy for the spectral update; exposed for experiments)
