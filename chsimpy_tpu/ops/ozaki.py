@@ -130,11 +130,15 @@ def slice_field(x, n_slices: int = N_SLICES):
     e = jnp.maximum(
         jnp.ceil(jnp.log2(amax + jnp.asarray(1e-30, x.dtype))) + 2.0, -90.0)
     scale = jnp.exp2(e)
-    u = x / scale
-    hi = u.astype(jnp.float32)
-    lo = (u - hi.astype(x.dtype)).astype(jnp.float32)
-    hs = _slice_chain_f32(hi, n_slices)
-    ls = _slice_chain_f32(lo, n_slices)
+    # split FIRST, scale the components in f32: scale is a power of two,
+    # so f32(x)*2^-e == f32(x/2^e) exactly — this replaces the emulated-f64
+    # division of the whole field (the costliest op of the old chain) with
+    # two exact f32 multiplies
+    hi0 = x.astype(jnp.float32)
+    lo0 = (x - hi0.astype(x.dtype)).astype(jnp.float32)
+    inv = jnp.exp2(-e).astype(jnp.float32)
+    hs = _slice_chain_f32(hi0 * inv, n_slices)
+    ls = _slice_chain_f32(lo0 * inv, n_slices)
     sl = [(a + b).astype(jnp.int8) for a, b in zip(hs, ls)]
     return jnp.stack(sl), scale
 

@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Replay golden reference traces on the live (TPU) backend.
+
+The CI suite replays the goldens on the CPU backend (bit-level f64); this
+script replays them on the chip — the acceptance gate for any change to
+the TPU float64 path (ozaki transform, split-f64, fast stats).  Reports
+the max relative E error vs the reference trace and the stop-step match.
+
+Usage:  python scripts/tpu_golden_replay.py [--transform ozaki] \
+            [--goldens n64_lcg_200,n128_uniform_300]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), '..', 'tests', 'golden')
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--transform', default=None,
+                    help="force a transform route (e.g. ozaki, split, "
+                         "matmul); default: the solver's auto choice")
+    ap.add_argument('--goldens', default='n64_lcg_200,n128_uniform_300')
+    args = ap.parse_args()
+
+    import jax
+    import chsimpy_tpu as ct
+    print(f"backend: {jax.default_backend()}")
+
+    failures = 0
+    for name in args.goldens.split(','):
+        with open(os.path.join(GOLDEN_DIR, name + '.json')) as f:
+            g = json.load(f)
+        p = ct.Parameters()
+        p.no_gui = True
+        p.update_every = None
+        for k, v in g['config'].items():
+            setattr(p, k, v)
+        if args.transform:
+            p.transform_backend = args.transform
+        sim = ct.Simulator(p)
+        sol = sim.solve()
+        td = sol.timedata.data()
+        ok_steps = sol.computed_steps == g['computed_steps']
+        ok_stop = sol.stop_reason == g['stop_reason']
+        E = np.asarray(g['E'])
+        erel = float(np.max(np.abs((td[:, 1] - E) / E)))
+        drel = float(np.max(np.abs(
+            (td[:, 8] - np.asarray(g['delt'])) / np.asarray(g['delt']))))
+        ok = ok_steps and ok_stop and erel < 1e-10
+        failures += 0 if ok else 1
+        print(f"{name}: steps {'ok' if ok_steps else 'MISMATCH'} "
+              f"stop={'ok' if ok_stop else sol.stop_reason} "
+              f"Erel={erel:.2e} delt={drel:.2e} -> "
+              f"{'PASS' if ok else 'FAIL'}")
+    return 1 if failures else 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
