@@ -118,6 +118,18 @@ def _roundtrip_fns(N, dtype):
             return ozaki.idct2_ozaki(
                 ozaki.dct2_ozaki(x, Cs, CsT, sc), Cs, CsT, sc)
         fns['ozaki-int8'] = chain(body_oz, Cs, CsT)
+
+        def body_oz_ps(x, C, Cs, CsT):
+            return ozaki.idct2_ozaki(
+                ozaki.dct2_ozaki(x, Cs, CsT, sc, pallas_slice=True),
+                Cs, CsT, sc, pallas_slice=True)
+        fns['ozaki-int8-pslice'] = chain(body_oz_ps, Cs, CsT)
+
+        def body_oz_fg(x, C, Cs, CsT):
+            return ozaki.idct2_ozaki(
+                ozaki.dct2_ozaki(x, Cs, CsT, sc, fused_groups=True),
+                Cs, CsT, sc, fused_groups=True)
+        fns['ozaki-int8-fused'] = chain(body_oz_fg, Cs, CsT)
     return fns
 
 

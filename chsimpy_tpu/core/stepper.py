@@ -376,12 +376,17 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
             U = dct_ops.idct2_fft(hat_U, constrain=constrain)
         elif cfg.transform_backend == 'ozaki':
             sc = ozaki_ops.dct_scale(cfg.N)
+            # under --kernels pallas the slicing chains fuse in one
+            # Pallas pass (measured vs the XLA chain in PERFORMANCE.md)
+            pslice = cfg.kernel_backend == 'pallas'
             hat_E = ozaki_ops.dct2_ozaki(EnergieEut, consts['Cs'],
                                          consts['CsT'], sc,
-                                         constrain=constrain)
+                                         constrain=constrain,
+                                         pallas_slice=pslice)
             hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
             U = ozaki_ops.idct2_ozaki(hat_U, consts['Cs'], consts['CsT'],
-                                      sc, constrain=constrain)
+                                      sc, constrain=constrain,
+                                      pallas_slice=pslice)
         else:
             prec = cfg.mm_precision
             hat_E = dct_ops.dct2(EnergieEut, C, precision=prec,

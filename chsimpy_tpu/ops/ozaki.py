@@ -138,9 +138,68 @@ def slice_field(x, n_slices: int = N_SLICES):
     lo0 = (x - hi0.astype(x.dtype)).astype(jnp.float32)
     inv = jnp.exp2(-e).astype(jnp.float32)
     hs = _slice_chain_f32(hi0 * inv, n_slices)
-    ls = _slice_chain_f32(lo0 * inv, n_slices)
-    sl = [(a + b).astype(jnp.int8) for a, b in zip(hs, ls)]
+    # the lo component's first three slices are identically zero:
+    # |lo| <= ulp(hi)/2 <= 2^-24 |u| <= 2^-26 (the scale keeps |u| <= 0.25),
+    # so 128^3 |lo| < 0.5 rounds to 0 at every lane — start the lo chain at
+    # slice 3 with one exact power-of-two scaling
+    lo_skip = min(3, n_slices)
+    ls = _slice_chain_f32(lo0 * inv * jnp.float32(128.0 ** lo_skip),
+                          n_slices - lo_skip)
+    sl = [hs[k] if k < lo_skip else (hs[k] + ls[k - lo_skip])
+          for k in range(n_slices)]
+    sl = [s.astype(jnp.int8) for s in sl]
     return jnp.stack(sl), scale
+
+
+def _slice_kernel(n_slices, lo_skip, inv_ref, hi_ref, lo_ref, out_ref):
+    """Pallas: both fixed-point chains run in registers; one read of the
+    double-single components, one int8 write per slice — the XLA form
+    materializes intermediates of the 13-step sequential chain in HBM."""
+    inv = inv_ref[0]
+    h = hi_ref[:] * inv
+    low = lo_ref[:] * (inv * jnp.float32(128.0 ** lo_skip))
+    for k in range(n_slices):
+        h = h * jnp.float32(128.0)
+        s = jnp.round(h)
+        h = h - s
+        if k >= lo_skip:
+            low = low * jnp.float32(128.0)
+            t = jnp.round(low)
+            low = low - t
+            s = s + t
+        out_ref[k] = s.astype(jnp.int8)
+
+
+def slice_field_pallas(x, n_slices: int = N_SLICES):
+    """:func:`slice_field` with the chains fused in one Pallas pass
+    (TPU float64 path under ``kernel_backend='pallas'``)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from .pallas_kernels import _interpret, _tile
+
+    amax = jnp.max(jnp.abs(x))
+    e = jnp.maximum(
+        jnp.ceil(jnp.log2(amax + jnp.asarray(1e-30, x.dtype))) + 2.0, -90.0)
+    scale = jnp.exp2(e)
+    hi0 = x.astype(jnp.float32)
+    lo0 = (x - hi0.astype(x.dtype)).astype(jnp.float32)
+    inv = jnp.exp2(-e).astype(jnp.float32).reshape((1,))
+    lo_skip = min(3, n_slices)
+    N, M = x.shape
+    tn, tm = _tile(N), _tile(M)
+    spec = pl.BlockSpec((tn, tm), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_slice_kernel, n_slices, lo_skip),
+        out_shape=jax.ShapeDtypeStruct((n_slices, N, M), jnp.int8),
+        grid=(N // tn, M // tm),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec, spec],
+        out_specs=pl.BlockSpec((n_slices, tn, tm),
+                               lambda i, j: (jnp.int32(0), i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(inv, hi0, lo0)
+    return out, scale
 
 
 def _pair_groups(a_slices, b_slices, contract, max_pair=MAX_PAIR):
@@ -148,13 +207,40 @@ def _pair_groups(a_slices, b_slices, contract, max_pair=MAX_PAIR):
     int32 groups by k = i+j.  ``contract(a, b)`` is one int8->int32 dot.
     Group sums stay < 2^31: each dot is <= 65*65*N and <= 8 dots join a
     group (N <= 2^19 safe)."""
-    S = a_slices.shape[0]
+    Sa, Sb = a_slices.shape[0], b_slices.shape[0]
     groups = [None] * (max_pair + 1)
-    for i in range(S):
-        for j in range(min(S, max_pair + 1 - i)):
+    for i in range(Sa):
+        for j in range(min(Sb, max_pair + 1 - i)):
             p = contract(a_slices[i], b_slices[j])
             k = i + j
             groups[k] = p if groups[k] is None else groups[k] + p
+    return groups
+
+
+def _pair_groups_fused(a_stack, b_stack, max_pair=MAX_PAIR):
+    """Group sums as single multi-contraction dots.
+
+    group_k = sum_{i+j=k} a[i] @ b[j] == dot_general(a[i0:i1+1],
+    rev(b)[...], contracting dims ((0, 2), (0, 1))) — the pair index
+    becomes an extra contraction axis, so the per-pair int32 product
+    fields (one 67 MB HBM write + read-back EACH at N=4096 in the
+    pairwise form) never leave the MXU accumulator.  Operands are
+    contiguous prefix/suffix views of the slice stacks (a: ascending i,
+    b: descending j via one reversed copy) — no per-group operand
+    builds, unlike the measured-slower concatenation variant
+    (PERFORMANCE.md 'grouped contraction' note).  Group sums stay exact:
+    the int32 MXU accumulator bound is unchanged (<= 8 pairs x 65*65*N
+    < 2^31 for N <= 2^19)."""
+    Sa, Sb = a_stack.shape[0], b_stack.shape[0]
+    b_rev = b_stack[::-1]
+    groups = []
+    for k in range(max_pair + 1):
+        i0, i1 = max(0, k - (Sb - 1)), min(k, Sa - 1)
+        ga = a_stack[i0:i1 + 1]
+        gb = b_rev[Sb - 1 - k + i0: Sb - 1 - k + i1 + 1]
+        groups.append(jax.lax.dot_general(
+            ga, gb, (((0, 2), (0, 1)), ((), ())),
+            preferred_element_type=jnp.int32))
     return groups
 
 
@@ -211,21 +297,28 @@ def _horner_f64(groups, dtype=jnp.float64):
     return acc * dtype(2.0 ** -14)
 
 
-def _transform2d(U, Ms_row, Ms_col, m_scale):
+def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
+                 fused_groups=False):
     """M_row @ U @ M_col with both stages in int8/int32.
 
     Ms_row/Ms_col are [S,N,N] int8 slice stacks of the two constant
     matrices (same scale m_scale); U is the f64 field."""
     dtype = U.dtype
     q = RENORM_SHIFT // 7
-    Us, su = slice_field(U)
-    g1 = _pair_groups(Ms_row, Us, _dot_left, max_pair=STAGE1_PAIR)
+    Us, su = (slice_field_pallas(U) if pallas_slice else slice_field(U))
+    if fused_groups:
+        g1 = _pair_groups_fused(Ms_row, Us, max_pair=STAGE1_PAIR)
+    else:
+        g1 = _pair_groups(Ms_row, Us, _dot_left, max_pair=STAGE1_PAIR)
     # the 2^RENORM_SHIFT static headroom occupies the top q slots of the
     # renormalized stack; emit q extra slices so the stage-2 input keeps
     # the 2^-56 absolute resolution (the STAGE2_PAIR cutoff then trims
     # only sub-floor products — see the constants above)
     t = _renorm_to_slices(g1, n_slices=N_SLICES + q)
-    g2 = _pair_groups(t, Ms_col, _dot_right, max_pair=STAGE2_PAIR)
+    if fused_groups:
+        g2 = _pair_groups_fused(t, Ms_col, max_pair=STAGE2_PAIR)
+    else:
+        g2 = _pair_groups(t, Ms_col, _dot_right, max_pair=STAGE2_PAIR)
     z = _horner_f64(g2, jnp.dtype(dtype).type)
     # total scale: (m_scale * su * 2^RENORM_SHIFT) from stage 1 * m_scale
     z = z * (su * jnp.asarray(
@@ -235,7 +328,8 @@ def _transform2d(U, Ms_row, Ms_col, m_scale):
     return jax.lax.optimization_barrier(z)
 
 
-def dct2_ozaki(U, Cs, CsT, m_scale, constrain=lambda x: x):
+def dct2_ozaki(U, Cs, CsT, m_scale, constrain=lambda x: x,
+               pallas_slice=False, fused_groups=False):
     """Orthonormal 2-D DCT-II (C @ U @ C^T) via exact int8 passes.
     Matches :func:`chsimpy_tpu.ops.dct.dct2` to ~1e-15 relative.
 
@@ -246,16 +340,19 @@ def dct2_ozaki(U, Cs, CsT, m_scale, constrain=lambda x: x):
     U = constrain(U)
     N = U.shape[-1]
     m = jnp.mean(U)
-    Y = _transform2d(U - m, Cs, CsT, m_scale)
+    Y = _transform2d(U - m, Cs, CsT, m_scale, pallas_slice=pallas_slice,
+                     fused_groups=fused_groups)
     return Y.at[0, 0].add(m * N)
 
 
-def idct2_ozaki(X, Cs, CsT, m_scale, constrain=lambda x: x):
+def idct2_ozaki(X, Cs, CsT, m_scale, constrain=lambda x: x,
+                pallas_slice=False, fused_groups=False):
     """Orthonormal 2-D DCT-III (C^T @ X @ C), inverse of
     :func:`dct2_ozaki`.  The DC coefficient is split off analytically
     (idct2(e00) = ones/N) before slicing."""
     X = constrain(X)
     N = X.shape[-1]
     d = X[0, 0]
-    u = _transform2d(X.at[0, 0].set(0.0), CsT, Cs, m_scale)
+    u = _transform2d(X.at[0, 0].set(0.0), CsT, Cs, m_scale,
+                     pallas_slice=pallas_slice, fused_groups=fused_groups)
     return u + d / N

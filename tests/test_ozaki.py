@@ -158,3 +158,62 @@ def test_ozaki_rejects_mesh():
     p.mesh_shape = (2, 2)
     with pytest.raises(ValueError, match='mesh'):
         ct.core.solver.resolve_transform(p)
+
+
+def test_slice_field_pallas_matches_xla():
+    """The fused Pallas slice kernel (interpret mode on CPU) emits the
+    exact same int8 slices and scale as the XLA chain."""
+    rng = np.random.default_rng(11)
+    for field in (rng.random((64, 64)) - 0.5,
+                  0.875 + 0.01 * (rng.random((64, 64)) - 0.5),
+                  np.zeros((16, 16))):
+        x = jnp.asarray(field, jnp.float64)
+        sa, sca = ozaki.slice_field(x)
+        sb, scb = ozaki.slice_field_pallas(x)
+        assert float(sca) == float(scb)
+        np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+
+
+def test_transform_pallas_slice_matches():
+    """dct2/idct2 with pallas_slice=True reproduce the XLA-sliced route
+    bit-for-bit (same int8 slices -> same exact dots)."""
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(0.875 + 0.01 * (rng.random((64, 64)) - 0.5),
+                    jnp.float64)
+    Cs, CsT, sc = ozaki.dct_slices(64)
+    ya = ozaki.dct2_ozaki(x, Cs, CsT, sc)
+    yb = ozaki.dct2_ozaki(x, Cs, CsT, sc, pallas_slice=True)
+    np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+    ua = ozaki.idct2_ozaki(ya, Cs, CsT, sc)
+    ub = ozaki.idct2_ozaki(ya, Cs, CsT, sc, pallas_slice=True)
+    np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))
+
+
+def test_fused_groups_bitmatch():
+    """The multi-contraction group dots produce bit-identical transforms:
+    same exact int8 products, same int32 accumulation."""
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(0.875 + 0.01 * (rng.random((96, 96)) - 0.5),
+                    jnp.float64)
+    Cs, CsT, sc = ozaki.dct_slices(96)
+    ya = ozaki.dct2_ozaki(x, Cs, CsT, sc)
+    yb = ozaki.dct2_ozaki(x, Cs, CsT, sc, fused_groups=True)
+    np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+    ua = ozaki.idct2_ozaki(ya, Cs, CsT, sc)
+    ub = ozaki.idct2_ozaki(ya, Cs, CsT, sc, fused_groups=True)
+    np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))
+
+
+def test_pair_groups_fused_matches_loop():
+    """Fused vs pairwise group sums on asymmetric slice counts (the
+    stage-2 shape, where the pairwise loop once indexed past the b
+    stack)."""
+    rng = np.random.default_rng(14)
+    a = jnp.asarray(rng.integers(-64, 65, (10, 32, 32)), jnp.int8)
+    b = jnp.asarray(rng.integers(-64, 65, (8, 32, 32)), jnp.int8)
+    ga = ozaki._pair_groups(a, b, ozaki._dot_right,
+                            max_pair=ozaki.STAGE2_PAIR)
+    gb = ozaki._pair_groups_fused(a, b, max_pair=ozaki.STAGE2_PAIR)
+    assert len(ga) == len(gb)
+    for x, y in zip(ga, gb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
