@@ -49,6 +49,14 @@ def resolve_transform(params: Parameters) -> str:
     tb = getattr(params, 'transform_backend', 'auto') or 'auto'
     if tb == 'auto':
         if params.mesh_shape is not None:
+            if (params.precision == 'float64'
+                    and jax.default_backend() == 'tpu'
+                    and params.N >= 256):
+                # the int8 pair dots shard exactly like the matmul
+                # contraction (GSPMD dot partitioning; equivalence pinned
+                # on the virtual mesh) and each is ~100x the emulated-f64
+                # matmul's per-chip rate
+                return 'ozaki'
             return 'matmul'  # sharded contraction: local matmul + collective
         if (params.precision == 'float64'
                 and jax.default_backend() == 'tpu' and params.N >= 256):
@@ -64,12 +72,12 @@ def resolve_transform(params: Parameters) -> str:
             if jax.default_backend() == 'tpu':
                 return 'split'
         return 'matmul'
-    if tb in ('fft', 'split', 'ozaki'):
+    if tb in ('fft', 'split'):
         if params.mesh_shape is not None:
             raise ValueError(
                 f"--transform {tb} does not shard under --mesh; the "
-                "distributed transform is the matmul route")
-        if tb != 'ozaki' and params.N % 2:
+                "distributed transforms are the matmul and ozaki routes")
+        if params.N % 2:
             raise ValueError(f"--transform {tb} requires even N "
                              f"(got {params.N})")
     if tb == 'ozaki' and params.precision != 'float64':

@@ -60,7 +60,8 @@ def collect_collectives(hlo_text: str) -> list:
 
 
 def audit_sharded_chunk(N: int = 256, mesh_shape=(2, 4),
-                        precision: str = 'float32') -> dict:
+                        precision: str = 'float32',
+                        transform: str = None) -> dict:
     """Compile the sharded chunk runner and inventory its collectives.
 
     Returns {'records', 'per_op_bytes', 'total_bytes', 'field_bytes',
@@ -73,6 +74,8 @@ def audit_sharded_chunk(N: int = 256, mesh_shape=(2, 4),
     p = Parameters()
     p.N = N
     p.precision = precision
+    if transform:
+        p.transform_backend = transform
     p.mesh_shape = tuple(mesh_shape)
     p.kappa_tilde = 2.98911291966116e-4  # skip the sympy solve
     p.no_gui = True
@@ -108,10 +111,13 @@ def main(argv=None):
     ap.add_argument('-N', type=int, default=256)
     ap.add_argument('--mesh', default='2x4')
     ap.add_argument('--precision', default='float32')
+    ap.add_argument('--transform', default=None,
+                    help='force a transform route (matmul | ozaki)')
     ap.add_argument('--out', default=None)
     args = ap.parse_args(argv)
     mesh_shape = tuple(int(v) for v in args.mesh.split('x'))
-    res = audit_sharded_chunk(args.N, mesh_shape, args.precision)
+    res = audit_sharded_chunk(args.N, mesh_shape, args.precision,
+                              transform=args.transform)
     print(f"# sharded chunk, N={args.N}, mesh={mesh_shape}, "
           f"{args.precision}: {res['n_collectives']} collectives")
     for op, b in sorted(res['per_op_bytes'].items()):

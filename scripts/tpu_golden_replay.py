@@ -21,6 +21,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), '..', 'tests', 'golden')
 
+# per-trace E tolerances, mirroring tests/test_golden.py: the adaptive
+# path feeds delt back through the (chaotically amplifying) nonlinear
+# term, so its trace tolerance is looser there too
+RTOL_E = {'n64_adaptive_600': 1e-8}
+DEFAULT_RTOL_E = 1e-10
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -54,7 +60,8 @@ def main():
         erel = float(np.max(np.abs((td[:, 1] - E) / E)))
         drel = float(np.max(np.abs(
             (td[:, 8] - np.asarray(g['delt'])) / np.asarray(g['delt']))))
-        ok = ok_steps and ok_stop and erel < 1e-10
+        ok = (ok_steps and ok_stop
+              and erel < RTOL_E.get(name, DEFAULT_RTOL_E))
         failures += 0 if ok else 1
         print(f"{name}: steps {'ok' if ok_steps else 'MISMATCH'} "
               f"stop={'ok' if ok_stop else sol.stop_reason} "

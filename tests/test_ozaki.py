@@ -152,12 +152,14 @@ def test_ozaki_rejects_float32():
         ct.core.solver.resolve_transform(p)
 
 
-def test_ozaki_rejects_mesh():
+def test_ozaki_allowed_under_mesh():
+    # round 2.7: the int8 pair dots shard like the matmul contraction
+    # (equivalence pinned by test_sharding.py::
+    # test_sharded_ozaki_matches_single_device)
     p = ct.Parameters()
     p.transform_backend = 'ozaki'
     p.mesh_shape = (2, 2)
-    with pytest.raises(ValueError, match='mesh'):
-        ct.core.solver.resolve_transform(p)
+    assert ct.core.solver.resolve_transform(p) == 'ozaki'
 
 
 def test_slice_field_pallas_matches_xla():
