@@ -236,7 +236,11 @@ class EnsembleSolver:
             return self._static_jbuf
         return self._null_jbuf
 
-    def solve_or_resume(self, nsteps: Optional[int] = None):
+    def solve_or_resume(self, nsteps: Optional[int] = None, on_chunk=None):
+        """Run up to ``nsteps`` (reference entry semantics).  ``on_chunk``,
+        if given, is called as ``on_chunk(self, states)`` after every device
+        chunk syncs — the hook behind the experiment driver's live view
+        (cap ``chunk_size`` to control the refresh cadence)."""
         assert self._states is not None, "call prepare() first"
         if nsteps is None:
             nsteps = max(self.params.ntmax, 0)
@@ -277,6 +281,8 @@ class EnsembleSolver:
                                self._consts, jbuf)
             n_iters -= k
             states = self._sync(states)
+            if on_chunk is not None:
+                on_chunk(self, states)
         self._states = states
         return self.solutions()
 

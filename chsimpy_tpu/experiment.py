@@ -33,6 +33,7 @@ class ExperimentParams:
         self.independent = False
         self.A_source = 'uniform'
         self.A_seed = None
+        self.live_view = False
 
 
 class ExperimentCLIParser:
@@ -57,6 +58,11 @@ class ExperimentCLIParser:
         group.add_argument('--A-seed', default=85972, type=int,
                            help='RNG seed for generating random A0, A1 '
                                 '(if --A-source is not file-based)')
+        group.add_argument('--live-view', action='store_true',
+                           help='Live map of ensemble member 0, refreshed '
+                                'about every --update-every steps (beyond-'
+                                'reference: the reference forces no-gui in '
+                                'experiments)')
 
     def get_parameters(self, argv=None):
         params = self.cliparser.get_parameters(argv)
@@ -79,6 +85,10 @@ class ExperimentCLIParser:
             self.cliparser.parser.error('ERROR: --png-anim is not allowed.')
         exp_params.processes = args.processes
         exp_params.A_seed = args.A_seed
+        exp_params.live_view = args.live_view
+        if exp_params.live_view and params.update_every is None:
+            self.cliparser.parser.error(
+                'ERROR: --live-view requires --update-every.')
         return exp_params, params
 
 
@@ -181,6 +191,23 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
 
     results = []
     file_id = init_params.file_id
+
+    view = None
+    on_chunk = None
+    if getattr(exp_params, 'live_view', False) and init_params.update_every:
+        from .viz.mapview import MapView
+        view = MapView(init_params.N)
+        view.prepare(show=True)
+        view.imode_on()
+        view.show()
+
+        def on_chunk(ens, states):
+            U0 = np.asarray(states.U[0])
+            step = int(np.asarray(states.computed_steps[0]))
+            view.set_Umap(U0, init_params.threshold,
+                          title=f"member 0 | step {step}")
+            view.draw()
+
     pbar = None
     if progress:
         try:
@@ -196,8 +223,12 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
         batch_params = init_params.deepcopy()
         ens = EnsembleSolver(batch_params, A_pairs[start:stop],
                              U_init=U_init, mesh=mesh)
+        if view is not None:
+            # refresh the view about every --update-every steps
+            ens.chunk_size = max(1, min(ens.chunk_size,
+                                        init_params.update_every))
         ens.prepare()
-        sols = ens.solve_or_resume(init_params.ntmax)
+        sols = ens.solve_or_resume(init_params.ntmax, on_chunk=on_chunk)
         for i, sol in enumerate(sols):
             run_id = start + i
             rp = init_params.deepcopy()
@@ -214,6 +245,8 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
                 pbar.update(1)
     if pbar is not None:
         pbar.close()
+    if view is not None:
+        view.finish()
     return results
 
 

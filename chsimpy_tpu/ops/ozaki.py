@@ -193,7 +193,8 @@ def slice_field_pallas(x, n_slices: int = N_SLICES):
         functools.partial(_slice_kernel, n_slices, lo_skip),
         out_shape=jax.ShapeDtypeStruct((n_slices, N, M), jnp.int8),
         grid=(N // tn, M // tm),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec, spec],
+        in_specs=[pl.BlockSpec((1,), lambda i, j: (jnp.int32(0),),
+                               memory_space=pltpu.SMEM), spec, spec],
         out_specs=pl.BlockSpec((n_slices, tn, tm),
                                lambda i, j: (jnp.int32(0), i, j),
                                memory_space=pltpu.VMEM),

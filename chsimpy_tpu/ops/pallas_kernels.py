@@ -40,6 +40,19 @@ def _tile(N: int, want: int = 256) -> int:
     return max(t, 8 if N % 8 == 0 else 1)
 
 
+def _whole(shape, memory_space):
+    """Whole-array BlockSpec usable under any grid: explicit block shape +
+    i32-zero index map.  A bare ``pl.BlockSpec(memory_space=...)`` under a
+    grid makes pallas synthesize the zero index map with i64 literals when
+    jax_enable_x64 is on, and the TPU Mosaic compiler rejects the mixed-
+    width index tuple ("failed to legalize operation 'func.return'").
+    The i32 literals must be built INSIDE the index map — pallas rejects
+    captured tracer constants."""
+    rank = len(shape)
+    return pl.BlockSpec(shape, lambda *_: (jnp.int32(0),) * rank,
+                        memory_space=memory_space)
+
+
 # ----------------------------------------------------------------------
 # fused chemical potential
 # ----------------------------------------------------------------------
@@ -69,7 +82,7 @@ def chemical_potential(U, RT, BRT, A0, A1):
         kern,
         out_shape=jax.ShapeDtypeStruct(U.shape, U.dtype),
         grid=(N // tn, M // tm),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+        in_specs=[_whole((2,), pltpu.SMEM),
                   pl.BlockSpec((tn, tm), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((tn, tm), lambda i, j: (i, j),
@@ -250,9 +263,16 @@ def _absdev_band_kernel(tn, scal_ref, u_ref, out_ref):
         out_ref[:] = out_ref[:] + row
 
 
-def _band_tile(N):
-    """Band height for the stats kernels."""
-    return _tile(N, 128)
+def _band_tile(N, width=None, n_ops=4, itemsize=4):
+    """Band height for the stats kernels: 128 rows, shrunk until the
+    ``n_ops`` double-buffered (tn, width) operand blocks fit the ~16 MiB
+    scoped-VMEM limit (measured OOM at (128, 4096) x 4 f32 operands:
+    16.28M > 16.00M)."""
+    width = N if width is None else width
+    tn = _tile(N, 128)
+    while tn > 8 and tn * width * itemsize * n_ops * 2 > 12 * 2 ** 20:
+        tn //= 2
+    return tn
 
 
 def stats_band_sums(U, EnergieEut, A0, A1, *, delx, RT, B, threshold):
@@ -260,7 +280,7 @@ def stats_band_sums(U, EnergieEut, A0, A1, *, delx, RT, B, threshold):
     row 0).  A0/A1 are traced device scalars (vmappable for the UQ
     ensemble)."""
     N = U.shape[0]
-    tn = _band_tile(N)
+    tn = _band_tile(N, itemsize=U.dtype.itemsize)
     nb = N // tn
     scal = jnp.stack([jnp.asarray(A0, U.dtype),
                       jnp.asarray(A1, U.dtype)])
@@ -281,10 +301,10 @@ def stats_band_sums(U, EnergieEut, A0, A1, *, delx, RT, B, threshold):
         out_shape=jax.ShapeDtypeStruct((8, 128), U.dtype),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _whole((2,), pltpu.SMEM),
             band, band, band, band,
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=_whole((8, 128), pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',)),
         interpret=_interpret(),
@@ -319,7 +339,7 @@ def absdev_band_sums(U, mean):
     """(nbands, 8) partial sums of |U - mean| (PS second pass).  Handles
     non-square blocks (the sharded path feeds one shard's local block)."""
     N, W = U.shape
-    tn = _band_tile(N)
+    tn = _band_tile(N, W, itemsize=U.dtype.itemsize)
     nb = N // tn
     scal = jnp.asarray(mean, U.dtype).reshape(1)
     kern = functools.partial(_absdev_band_kernel, tn)
@@ -328,11 +348,11 @@ def absdev_band_sums(U, mean):
         out_shape=jax.ShapeDtypeStruct((8, 128), U.dtype),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _whole((1,), pltpu.SMEM),
             pl.BlockSpec((tn, W), lambda b: (b, jnp.int32(0)),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=_whole((8, 128), pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',)),
         interpret=_interpret(),
@@ -405,7 +425,7 @@ def _local_band_sums(N, Ub, up, dn, lf, rt, Eb, A0, A1, row_off, col_off,
                      *, delx, RT, B, threshold):
     """pallas_call wrapper for one shard's banded partial sums."""
     bn, W = Ub.shape
-    tn = _tile(bn, 128)
+    tn = _band_tile(bn, W, n_ops=6, itemsize=Ub.dtype.itemsize)
     nb = bn // tn
     ioff = jnp.stack([jnp.asarray(row_off, jnp.int32),
                       jnp.asarray(col_off, jnp.int32)])
@@ -420,11 +440,11 @@ def _local_band_sums(N, Ub, up, dn, lf, rt, Eb, A0, A1, row_off, col_off,
         out_shape=jax.ShapeDtypeStruct((8, 128), Ub.dtype),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _whole((2,), pltpu.SMEM),
+            _whole((2,), pltpu.SMEM),
             band, band, band, band, band, band,
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=_whole((8, 128), pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',)),
         interpret=_interpret(),

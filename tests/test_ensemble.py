@@ -215,3 +215,29 @@ def test_ensemble_mixed_entry_semantics_rejected():
         computed_steps=jnp.asarray(steps))
     with pytest.raises(AssertionError, match='entry semantics'):
         ens.solve_or_resume(5)
+
+
+def test_experiment_live_view(tmp_path, monkeypatch):
+    """--live-view refreshes a member-0 map about every --update-every
+    steps (beyond-reference nicety; the reference forces no_gui in
+    experiments)."""
+    monkeypatch.chdir(tmp_path)
+    p = base_params(N=16, ntmax=21)
+    p.file_id = 'liveexp'
+    p.yaml = False
+    p.export_csv = None
+    p.update_every = 5
+    ep = ExperimentParams()
+    ep.runs = 2
+    ep.A_seed = 85972
+    ep.live_view = True
+    results = run_experiment_batch(p, ep, progress=False)
+    assert len(results) == 2
+
+
+def test_experiment_live_view_requires_update_every():
+    from chsimpy_tpu.experiment import ExperimentCLIParser
+    import pytest as _pytest
+    parser = ExperimentCLIParser()
+    with _pytest.raises(SystemExit):
+        parser.get_parameters(['--live-view', '-N', '16'])
