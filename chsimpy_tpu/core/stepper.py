@@ -171,13 +171,17 @@ def _nonlinear_term(cfg: StepConfig, consts, U, mesh=None):
     """Shifted nonlinear chemical potential EnergieEut (solver.py:168-175)."""
     if cfg.kernel_backend == 'pallas':
         # traced per-member scalars ride into the kernel via SMEM (the
-        # vmapped ensemble perturbs A0/A1 per member)
+        # vmapped ensemble perturbs A0/A1 per member).  f64 fields on a
+        # real TPU fall through to the XLA chain (pk.supports_dtype —
+        # Mosaic has no f64 vector type); the ozaki slice kernel still
+        # applies, it takes pre-split f32 components.
         from ..ops import pallas_kernels as pk
-        if mesh is not None:
-            return pk.chemical_potential_sharded(
-                mesh, U, cfg.RT, cfg.BRT, consts['A0'], consts['A1'])
-        return pk.chemical_potential(U, cfg.RT, cfg.BRT,
-                                     consts['A0'], consts['A1'])
+        if pk.supports_dtype(cfg.jdtype):
+            if mesh is not None:
+                return pk.chemical_potential_sharded(
+                    mesh, U, cfg.RT, cfg.BRT, consts['A0'], consts['A1'])
+            return pk.chemical_potential(U, cfg.RT, cfg.BRT,
+                                         consts['A0'], consts['A1'])
     dtype = U.dtype
     A0 = consts['A0'].astype(dtype)
     A1 = consts['A1'].astype(dtype)
@@ -247,11 +251,17 @@ def _stats(cfg: StepConfig, consts, U, EnergieEut=None, mesh=None):
     Returns f64 scalars (row entries) regardless of field dtype.
     ``EnergieEut=None`` (prepare path) yields L2 = 0 without materializing a
     zeros array (a large HLO constant compiles pathologically on TPU)."""
-    if (cfg.kernel_backend == 'xla'
+    use_pallas = False
+    if cfg.kernel_backend == 'pallas' and EnergieEut is not None:
+        # f64 on real TPU falls back to the XLA paths below — Mosaic has
+        # no f64 vector type (pk.supports_dtype)
+        from ..ops import pallas_kernels as pk
+        use_pallas = pk.supports_dtype(cfg.jdtype)
+    if (not use_pallas
             and (cfg.dtype == 'float32' or cfg.fast_stats)
             and EnergieEut is not None):
         return _stats_fast(cfg, consts, U, EnergieEut)
-    if cfg.kernel_backend == 'pallas' and EnergieEut is not None:
+    if use_pallas:
         # fused banded kernel: every full-field sum in one U+EnergieEut
         # pass + one |U-mean| pass (the measured Pallas win — the XLA
         # chain costs ~1.7 ms at N=4096 f32, see PERFORMANCE.md)

@@ -33,6 +33,16 @@ def _interpret():
     return _INTERPRET or jax.default_backend() == 'cpu'
 
 
+def supports_dtype(dtype) -> bool:
+    """Whether the elementwise/stats kernels can run with this operand
+    dtype.  Real TPU Mosaic has no float64 vector type — XLA's f64
+    emulation happens above the kernel level — so f64 fields only pass
+    through pallas kernels in interpret mode (CPU tests).  The ozaki
+    slice kernel is exempt: it consumes pre-split f32 hi/lo components,
+    never an f64 ref (ops/ozaki.py:slice_field_pallas)."""
+    return jnp.dtype(dtype) != jnp.float64 or _interpret()
+
+
 def _tile(N: int, want: int = 256) -> int:
     t = min(want, N)
     while N % t:
