@@ -22,6 +22,7 @@ readback (the remote backend's ``block_until_ready`` does not flush).
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 
@@ -42,23 +43,25 @@ def _recombine(slices, scale, dtype):
 
 
 def build_pipelines(N):
-    dtype = jnp.float64.type if hasattr(jnp.float64, 'type') else None
+    """Pipelines take the int8 matrix slice stacks as ARGUMENTS — captured
+    as closure constants they are ~134 MB each of HLO literal, which blows
+    the remote compile service's request-size limit (HTTP 413) and
+    compiles pathologically (CLAUDE.md rule 2)."""
     dt = jnp.dtype(jnp.float64).type
-    Cs, CsT, sc = ozaki.dct_slices(N)
     q = ozaki.RENORM_SHIFT // 7
 
-    def p1_slice(x):
+    def p1_slice(x, Cs, CsT, sc):
         Us, su = ozaki.slice_field(x)
         return _recombine(Us, su, dt)
 
-    def p2_stage1(x):
+    def p2_stage1(x, Cs, CsT, sc):
         Us, su = ozaki.slice_field(x)
         g1 = ozaki._pair_groups(Cs, Us, ozaki._dot_left,
                                 max_pair=ozaki.STAGE1_PAIR)
         z = ozaki._horner_f64(g1)
         return jax.lax.optimization_barrier(z * (su * sc))
 
-    def p3_renorm(x):
+    def p3_renorm(x, Cs, CsT, sc):
         Us, su = ozaki.slice_field(x)
         g1 = ozaki._pair_groups(Cs, Us, ozaki._dot_left,
                                 max_pair=ozaki.STAGE1_PAIR)
@@ -66,7 +69,7 @@ def build_pipelines(N):
         r = _recombine(t, su * sc * dt(2.0 ** ozaki.RENORM_SHIFT), dt)
         return jax.lax.optimization_barrier(r)
 
-    def p4_full(x):
+    def p4_full(x, Cs, CsT, sc):
         return ozaki.dct2_ozaki(x, Cs, CsT, sc)
 
     return {'P1 slice+recombine': p1_slice,
@@ -75,8 +78,11 @@ def build_pipelines(N):
             'P4 full dct2': p4_full}
 
 
-def time_pipeline(fn, x, inner, reps):
-    f = jax.jit(lambda u: jax.lax.fori_loop(0, inner, lambda i, y: fn(y), u))
+def time_pipeline(fn, x, consts, inner, reps):
+    Cs, CsT, sc = consts
+    f = jax.jit(lambda u, Cs, CsT: jax.lax.fori_loop(
+        0, inner, lambda i, y: fn(y, Cs, CsT, sc), u))
+    f = functools.partial(f, Cs=Cs, CsT=CsT)
     r = f(x)
     float(r[0, 0])  # compile + first run
     samples = []
@@ -102,10 +108,11 @@ def main(argv=None):
     x = jnp.asarray(0.875 + 0.01 * (np.random.default_rng(0)
                                     .random((args.N, args.N)) - 0.5),
                     jnp.float64)
+    consts = ozaki.dct_slices(args.N)
     rows = []
     prev = 0.0
     for name, fn in build_pipelines(args.N).items():
-        med, best = time_pipeline(fn, x, args.inner, args.reps)
+        med, best = time_pipeline(fn, x, consts, args.inner, args.reps)
         print(f"{name}: {med:.2f} ms median ({best:.2f} best), "
               f"delta {med - prev:+.2f} ms")
         rows.append({'pipeline': name, 'ms_median': round(med, 3),

@@ -58,8 +58,19 @@ MAX_PAIR = 7        # keep slice products with i+j <= MAX_PAIR (36 passes)
 # stage 1 <= 6 (28 passes) and stage 2 <= 8 (44) BEAT the previous
 # full-count no-split config on both forward error and roundtrip while
 # dropping 16 of 88 passes.
-STAGE1_PAIR = 6     # 28 passes
-STAGE2_PAIR = 8     # 44 passes
+# Round 2.8 trim (measured sweep, N=256 CPU true-f64, DC-split active):
+#   (s1, s2)  passes  fwd gauss  fwd solver-class  20-roundtrip solver
+#   (6, 8)    28+44   1.1e-13    4.0e-15           2.2e-14
+#   (5, 7)    21+36   1.3e-11    4.0e-15           2.6e-12
+#   (5, 6)    21+28   7.3e-10    1.2e-14           1.4e-10   <- too close
+#   (4, 6)    15+28   1.5e-09    2.6e-14           3.0e-10   <- too close
+# (5, 7) keeps the solver-class forward error AT the f64 floor and the
+# accumulated roundtrip error two orders under the 1e-10 E contract while
+# dropping 15 of 72 passes; the next trim step parks within one order of
+# the contract — rejected.  Gate: the on-chip canonical N=512 run must
+# keep the exact stop step and <=1e-10 E (PERFORMANCE.md round 2.8).
+STAGE1_PAIR = 5     # 21 passes
+STAGE2_PAIR = 7     # 36 passes
 RENORM_SHIFT = 14   # static headroom (2 slice slots) absorbing the 1-D
                     # transform's growth |C @ U| <= sqrt(N) max|U|; covers
                     # N/(16 sqrt 2) <= 2^12 i.e. every N <= 92681
