@@ -59,25 +59,6 @@ def test_dct2_pallas_matches_scipy():
     np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-4)
 
 
-def test_solver_pallas_backend_matches_xla():
-    def run(backend):
-        p = ct.Parameters()
-        p.N = 32
-        p.ntmax = 25
-        p.no_gui = True
-        p.update_every = None
-        p.full_sim = True
-        p.generator = 'lcg'
-        p.precision = 'float32'
-        p.kernel_backend = backend
-        p.kappa_tilde = 2.98911291966116e-4
-        return ct.Simulator(p).solve()
-    ref = run('xla')
-    pal = run('pallas')
-    assert pal.computed_steps == ref.computed_steps
-    np.testing.assert_allclose(pal.U, ref.U, rtol=0, atol=1e-5)
-    np.testing.assert_allclose(pal.timedata.E, ref.timedata.E, rtol=1e-6)
-
 
 def test_pallas_mesh_needs_divisible_N():
     p = ct.Parameters()
@@ -221,3 +202,43 @@ def test_ensemble_pallas_backend_matches_xla():
         assert a.computed_steps == b.computed_steps
         np.testing.assert_allclose(np.asarray(a.U), np.asarray(b.U),
                                    rtol=0, atol=1e-4)
+
+
+def test_band_tile_fits_scoped_vmem():
+    """The stats band tiles must keep the double-buffered operand blocks
+    under the TPU's ~16 MiB scoped-VMEM limit (measured OOM at
+    (128, 4096) x 4 f32 operands = 16.28M)."""
+    budget = 12 * 2 ** 20
+    for N in (512, 1024, 2048, 4096, 8192):
+        for itemsize, n_ops in ((4, 4), (8, 4), (4, 6)):
+            tn = pk._band_tile(N, n_ops=n_ops, itemsize=itemsize)
+            assert N % tn == 0
+            assert (tn * N * itemsize * n_ops * 2 <= budget) or tn == 8
+
+
+def test_f64_pallas_dispatch_falls_back_to_xla(monkeypatch):
+    """With kernel_backend='pallas' and an f64 field on a non-interpret
+    (real TPU) backend, mu/stats must route to the XLA chains — Mosaic
+    has no f64 vector type (round-2.8 post-mortem in PERFORMANCE.md)."""
+    import jax.numpy as jnp
+    from chsimpy_tpu.core import stepper as st
+
+    monkeypatch.setattr(pk, '_interpret', lambda: False)
+    assert not pk.supports_dtype(jnp.float64)
+    assert pk.supports_dtype(jnp.float32)
+
+    cfg = st.StepConfig(N=16, dtype='float64', RT=7676.0, BRT=69084.0,
+                        B=9.0, Amr=0.005, L=2005.0, delx=2005.0 / 15,
+                        delx2=(2005.0 / 15) ** 2, M_tilde=1.0,
+                        threshold=0.9, kernel_backend='pallas',
+                        fast_stats=True)
+    consts = {'A0': jnp.float64(186.0), 'A1': jnp.float64(-0.36),
+              'kappa_tilde': jnp.float64(3e-4)}
+    U = jnp.full((16, 16), 0.875, jnp.float64)
+    E = jnp.ones((16, 16), jnp.float64)
+    # would raise inside pallas_call (interpret=False on CPU) if the
+    # dispatch still took the kernel path
+    mu = st._nonlinear_term(cfg, consts, U)
+    stats = st._stats(cfg, consts, U, E)
+    assert np.isfinite(np.asarray(mu)).all()
+    assert all(np.isfinite(float(s)) for s in stats)
