@@ -317,7 +317,14 @@ def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
     matrices (same scale m_scale); U is the f64 field."""
     dtype = U.dtype
     q = RENORM_SHIFT // 7
-    Us, su = (slice_field_pallas(U) if pallas_slice else slice_field(U))
+    # the pair cutoffs bound which slice indices any dot ever consumes:
+    # stage 1 reads field slices j <= STAGE1_PAIR (the matrix is always
+    # operand i), stage 2 reads renormalized slots i <= STAGE2_PAIR —
+    # emitting more is pure waste, so the chains stop there (the dropped
+    # slices changed no dot; results are bit-identical)
+    n_field = min(N_SLICES, STAGE1_PAIR + 1)
+    Us, su = (slice_field_pallas(U, n_field) if pallas_slice
+              else slice_field(U, n_field))
     if fused_groups:
         g1 = _pair_groups_fused(Ms_row, Us, max_pair=STAGE1_PAIR)
     else:
@@ -326,7 +333,7 @@ def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
     # renormalized stack; emit q extra slices so the stage-2 input keeps
     # the 2^-56 absolute resolution (the STAGE2_PAIR cutoff then trims
     # only sub-floor products — see the constants above)
-    t = _renorm_to_slices(g1, n_slices=N_SLICES + q)
+    t = _renorm_to_slices(g1, n_slices=min(N_SLICES + q, STAGE2_PAIR + 1))
     if fused_groups:
         g2 = _pair_groups_fused(t, Ms_col, max_pair=STAGE2_PAIR)
     else:

@@ -221,3 +221,22 @@ def test_pair_groups_fused_matches_loop():
     assert len(ga) == len(gb)
     for x, y in zip(ga, gb):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_trimmed_slice_emission_is_prefix():
+    """The (5, 7) cutoffs let the transforms emit only the slice indices
+    any pair dot consumes; the chain is sequential, so a shorter emission
+    must be exactly the prefix of the full one (bit-identical dots)."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((32, 32)))
+    full, s_full = ozaki.slice_field(x, n_slices=8)
+    trim, s_trim = ozaki.slice_field(x, n_slices=6)
+    assert float(s_full) == float(s_trim)
+    np.testing.assert_array_equal(np.asarray(full[:6]), np.asarray(trim))
+    # renorm slots are carry-computed most-significant-first: dropping the
+    # deepest slots leaves the kept ones unchanged
+    groups = [jnp.asarray(rng.integers(-10000, 10000, (4, 4)), jnp.int32)
+              for _ in range(6)]
+    t10 = np.asarray(ozaki._renorm_to_slices(groups, n_slices=10))
+    t8 = np.asarray(ozaki._renorm_to_slices(groups, n_slices=8))
+    np.testing.assert_array_equal(t10[:8], t8)
