@@ -49,23 +49,28 @@ def build_pipelines(N):
     compiles pathologically (CLAUDE.md rule 2)."""
     dt = jnp.dtype(jnp.float64).type
     q = ozaki.RENORM_SHIFT // 7
+    # mirror the PRODUCTION emission counts (ozaki._transform2d): the
+    # stage-cost differencing is only meaningful if P1-P3 run the same
+    # slice/renorm chains P4's transform does
+    n_field = min(ozaki.N_SLICES, ozaki.STAGE1_PAIR + 1)
+    n_renorm = min(ozaki.N_SLICES + q, ozaki.STAGE2_PAIR + 1)
 
     def p1_slice(x, Cs, CsT, sc):
-        Us, su = ozaki.slice_field(x)
+        Us, su = ozaki.slice_field(x, n_field)
         return _recombine(Us, su, dt)
 
     def p2_stage1(x, Cs, CsT, sc):
-        Us, su = ozaki.slice_field(x)
+        Us, su = ozaki.slice_field(x, n_field)
         g1 = ozaki._pair_groups(Cs, Us, ozaki._dot_left,
                                 max_pair=ozaki.STAGE1_PAIR)
         z = ozaki._horner_f64(g1)
         return jax.lax.optimization_barrier(z * (su * sc))
 
     def p3_renorm(x, Cs, CsT, sc):
-        Us, su = ozaki.slice_field(x)
+        Us, su = ozaki.slice_field(x, n_field)
         g1 = ozaki._pair_groups(Cs, Us, ozaki._dot_left,
                                 max_pair=ozaki.STAGE1_PAIR)
-        t = ozaki._renorm_to_slices(g1, n_slices=ozaki.N_SLICES + q)
+        t = ozaki._renorm_to_slices(g1, n_slices=n_renorm)
         r = _recombine(t, su * sc * dt(2.0 ** ozaki.RENORM_SHIFT), dt)
         return jax.lax.optimization_barrier(r)
 

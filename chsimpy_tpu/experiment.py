@@ -194,15 +194,21 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
 
     view = None
     on_chunk = None
-    if getattr(exp_params, 'live_view', False) and init_params.update_every:
+    if getattr(exp_params, 'live_view', False):
+        if not init_params.update_every:
+            raise ValueError("live_view requires update_every (the CLI "
+                             "enforces this; programmatic callers too)")
         from .viz.mapview import MapView
         view = MapView(init_params.N)
         view.prepare(show=True)
         view.imode_on()
         view.show()
+        # preview at <=512 px a side: the full field is a multi-MB
+        # device->host pull per refresh over the slow tunnel
+        stride = max(1, init_params.N // 512)
 
         def on_chunk(ens, states):
-            U0 = np.asarray(states.U[0])
+            U0 = np.asarray(states.U[0][::stride, ::stride])
             step = int(np.asarray(states.computed_steps[0]))
             view.set_Umap(U0, init_params.threshold,
                           title=f"member 0 | step {step}")

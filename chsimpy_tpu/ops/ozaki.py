@@ -186,7 +186,7 @@ def slice_field_pallas(x, n_slices: int = N_SLICES):
     (TPU float64 path under ``kernel_backend='pallas'``)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    from .pallas_kernels import _interpret, _tile
+    from .pallas_kernels import _interpret, _tile, _whole
 
     amax = jnp.max(jnp.abs(x))
     e = jnp.maximum(
@@ -204,8 +204,7 @@ def slice_field_pallas(x, n_slices: int = N_SLICES):
         functools.partial(_slice_kernel, n_slices, lo_skip),
         out_shape=jax.ShapeDtypeStruct((n_slices, N, M), jnp.int8),
         grid=(N // tn, M // tm),
-        in_specs=[pl.BlockSpec((1,), lambda i, j: (jnp.int32(0),),
-                               memory_space=pltpu.SMEM), spec, spec],
+        in_specs=[_whole((1,), pltpu.SMEM), spec, spec],
         out_specs=pl.BlockSpec((n_slices, tn, tm),
                                lambda i, j: (jnp.int32(0), i, j),
                                memory_space=pltpu.VMEM),
@@ -330,9 +329,9 @@ def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
     else:
         g1 = _pair_groups(Ms_row, Us, _dot_left, max_pair=STAGE1_PAIR)
     # the 2^RENORM_SHIFT static headroom occupies the top q slots of the
-    # renormalized stack; emit q extra slices so the stage-2 input keeps
-    # the 2^-56 absolute resolution (the STAGE2_PAIR cutoff then trims
-    # only sub-floor products — see the constants above)
+    # renormalized stack, so slot resolution runs to 2^-7(N_SLICES+q)
+    # in principle — but stage 2 only ever reads slots i <= STAGE2_PAIR
+    # (its pair cutoff), so emission stops there
     t = _renorm_to_slices(g1, n_slices=min(N_SLICES + q, STAGE2_PAIR + 1))
     if fused_groups:
         g2 = _pair_groups_fused(t, Ms_col, max_pair=STAGE2_PAIR)

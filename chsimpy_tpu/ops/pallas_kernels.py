@@ -349,7 +349,7 @@ def absdev_band_sums(U, mean):
     """(nbands, 8) partial sums of |U - mean| (PS second pass).  Handles
     non-square blocks (the sharded path feeds one shard's local block)."""
     N, W = U.shape
-    tn = _band_tile(N, W, itemsize=U.dtype.itemsize)
+    tn = _band_tile(N, W, n_ops=1, itemsize=U.dtype.itemsize)
     nb = N // tn
     scal = jnp.asarray(mean, U.dtype).reshape(1)
     kern = functools.partial(_absdev_band_kernel, tn)
