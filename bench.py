@@ -14,11 +14,57 @@ Detail lines (per-size sweep) go to stderr; stdout carries only the JSON.
 """
 
 import json
+import os
+import signal
+import subprocess
 import sys
 import time
 
 REF_CPU_N4096_STEPS_PER_S = 0.1387   # measured in this container
 REF_CPU_N512_STEPS_PER_S = 34.47     # measured in this container
+
+# The axon TPU tunnel fails by HANGING, not erroring (CLAUDE.md rule 1:
+# a held or dead endpoint blocks jax backend init forever, silently).  The
+# driver needs its one JSON line either way, so (a) the backend is probed
+# in a throwaway subprocess with a hard timeout before the real run, and
+# (b) a whole-run alarm emits the line if anything later wedges.
+PROBE_TIMEOUT_S = 300        # fresh tunnel handshake is seconds; 5 min is
+                             # far past any healthy case
+TOTAL_TIMEOUT_S = 55 * 60    # fresh large-shape compiles took 5-10 min
+                             # during round 2; 55 min covers a cold cache
+
+
+def _emit_failure(reason, detail=None):
+    print(json.dumps({'metric': 'ch_steps_per_s_N4096_chip',
+                      'value': 0.0, 'unit': 'steps/s',
+                      'vs_baseline': 0.0, 'error': reason,
+                      'detail': detail or {}}))
+    sys.stdout.flush()
+
+
+def _probe_backend():
+    """True if a fresh process can initialize the default jax backend.
+
+    Honors JAX_PLATFORMS the same way the CLI does (the axon plugin
+    overrides the env-var lookup), so `JAX_PLATFORMS=cpu python bench.py`
+    is drivable without the chip; the driver's plain invocation still
+    probes the TPU."""
+    code = ("import chsimpy_tpu; chsimpy_tpu.honor_jax_platforms_env(); "
+            "import jax; print(jax.default_backend())")
+    try:
+        r = subprocess.run([sys.executable, '-c', code],
+                           capture_output=True, text=True,
+                           timeout=PROBE_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        return False, f'backend init hung >{PROBE_TIMEOUT_S}s (tunnel down?)'
+    if r.returncode != 0:
+        return False, f'backend init failed: {r.stderr.strip()[-200:]}'
+    return True, r.stdout.strip()
+
+
+def _alarm_handler(signum, frame):  # pragma: no cover
+    _emit_failure(f'bench exceeded {TOTAL_TIMEOUT_S}s watchdog')
+    os._exit(1)
 
 
 def bench_size(N, precision, nsteps, chunk_size=1024):
@@ -54,6 +100,14 @@ def bench_size(N, precision, nsteps, chunk_size=1024):
 
 
 def main():
+    signal.signal(signal.SIGALRM, _alarm_handler)
+    signal.alarm(TOTAL_TIMEOUT_S)
+    ok, info = _probe_backend()
+    if not ok:
+        _emit_failure(info)
+        return 1
+    import chsimpy_tpu
+    chsimpy_tpu.honor_jax_platforms_env()
     import jax
     backend = jax.default_backend()
     detail = {'backend': backend}

@@ -1,0 +1,63 @@
+"""bench.py watchdog: the driver metric must emit its one JSON line even
+when the TPU tunnel is down (it fails by hanging, not erroring)."""
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        'bench', os.path.join(REPO, 'bench.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_emit_failure_is_one_json_line(capsys):
+    bench = _load_bench()
+    bench._emit_failure('tunnel down', {'backend': 'none'})
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec['metric'] == 'ch_steps_per_s_N4096_chip'
+    assert rec['value'] == 0.0 and rec['vs_baseline'] == 0.0
+    assert rec['error'] == 'tunnel down'
+
+
+def test_probe_backend_honors_jax_platforms_cpu():
+    bench = _load_bench()
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    # the probe spawns its own subprocess; run it under the env the CLI
+    # contract guarantees (chsimpy_tpu.honor_jax_platforms_env applies the
+    # env var through the config API because the axon plugin overrides it)
+    code = ("import sys; sys.path.insert(0, %r); import bench; "
+            "ok, info = bench._probe_backend(); print(ok, info)" % REPO)
+    r = subprocess.run([sys.executable, '-c', code], env=env,
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert r.stdout.strip().endswith('True cpu'.replace('True ', '')) or \
+        'True cpu' in r.stdout, r.stdout
+
+
+def test_probe_timeout_reports_hang(monkeypatch):
+    bench = _load_bench()
+    monkeypatch.setattr(bench, 'PROBE_TIMEOUT_S', 2)
+    # a probe that sleeps forever stands in for the hung tunnel
+    monkeypatch.setattr(bench.sys, 'executable', sys.executable)
+    real_run = subprocess.run
+
+    def fake_run(cmd, **kw):
+        return real_run([sys.executable, '-c', 'import time; time.sleep(60)'],
+                        **kw)
+    monkeypatch.setattr(bench.subprocess, 'run', fake_run)
+    ok, info = bench._probe_backend()
+    assert not ok
+    assert 'hung' in info
