@@ -130,6 +130,12 @@ def _roundtrip_fns(N, dtype):
                 ozaki.dct2_ozaki(x, Cs, CsT, sc, fused_groups=True),
                 Cs, CsT, sc, fused_groups=True)
         fns['ozaki-int8-fused'] = chain(body_oz_fg, Cs, CsT)
+
+        def body_oz_pg(x, C, Cs, CsT):
+            return ozaki.idct2_ozaki(
+                ozaki.dct2_ozaki(x, Cs, CsT, sc, pallas_groups=True),
+                Cs, CsT, sc, pallas_groups=True)
+        fns['ozaki-int8-pgroups'] = chain(body_oz_pg, Cs, CsT)
     return fns
 
 

@@ -255,6 +255,99 @@ def _pair_groups_fused(a_stack, b_stack, max_pair=MAX_PAIR):
     return groups
 
 
+def _pair_plan(Sa, Sb, max_pair):
+    """Static pair schedule for the group-dot kernel: pairs (i, j) with
+    i + j <= max_pair, sorted by group k = i + j so every output group is
+    visited in one consecutive grid run (the VMEM accumulator then never
+    leaves the chip between pairs of a group)."""
+    ia, jb, grp, first = [], [], [], []
+    for k in range(max_pair + 1):
+        i0, i1 = max(0, k - (Sb - 1)), min(k, Sa - 1)
+        for t, i in enumerate(range(i0, i1 + 1)):
+            ia.append(i)
+            jb.append(k - i)
+            grp.append(k)
+            first.append(1 if t == 0 else 0)
+    return (np.asarray(ia, np.int32), np.asarray(jb, np.int32),
+            np.asarray(grp, np.int32), np.asarray(first, np.int32))
+
+
+def _group_dot_kernel(nk, ia_ref, jb_ref, grp_ref, first_ref,
+                      a_ref, b_ref, out_ref):
+    """One grid step: add a (tm, tk) x (tk, tn) int8 pair-dot tile into
+    the group's int32 output block.  The output block IS the accumulator
+    (int32 in, int32 out — no scratch): pallas keeps it in VMEM while
+    consecutive grid steps map to the same block, which the group-sorted
+    pair schedule guarantees."""
+    from jax.experimental import pallas as pl
+    p = pl.program_id(2)
+    kk = pl.program_id(3)
+
+    @pl.when((kk == 0) & (first_ref[p] == 1))
+    def _():
+        out_ref[0, :, :] = jnp.zeros((out_ref.shape[1], out_ref.shape[2]),
+                                     jnp.int32)
+
+    out_ref[0, :, :] += jax.lax.dot_general(
+        a_ref[0], b_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+
+def pair_group_dots_pallas(a_stack, b_stack, max_pair):
+    """Fused :func:`_pair_groups`: every slice product a_i @ b_j with
+    i + j <= max_pair, summed into int32 groups by k = i + j, with the
+    group accumulation living in VMEM instead of HBM.
+
+    The XLA pairwise form writes each of the 21/36 int32 pair products
+    (64 MB at N=4096) to HBM and reads them back for the group adds —
+    ~2/3 of the measured stage cost is that traffic (PERFORMANCE.md,
+    ozaki component profile).  Here the pair loop is a grid dimension
+    whose schedule is sorted by group (static scalar-prefetch arrays
+    drive the slice/group block indexing), so each group's output block
+    is revisited consecutively and written back exactly once.
+
+    Returns the groups as one [n_groups, M, N] int32 array (the callers'
+    Horner/renorm chains index it like the former list)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from .pallas_kernels import _interpret, _tile
+
+    Sa, M, K = a_stack.shape
+    Sb, K2, N = b_stack.shape
+    assert K == K2
+    ia, jb, grp, first = _pair_plan(Sa, Sb, max_pair)
+    n_groups = max_pair + 1
+    tm, tn, tk = _tile(M, 512), _tile(N, 512), _tile(K, 512)
+    nk = K // tk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(M // tm, N // tn, len(ia), nk),
+        in_specs=[
+            pl.BlockSpec((1, tm, tk),
+                         lambda mi, mj, p, kk, ia, jb, grp, first:
+                         (ia[p], mi, kk)),
+            pl.BlockSpec((1, tk, tn),
+                         lambda mi, mj, p, kk, ia, jb, grp, first:
+                         (jb[p], kk, mj)),
+        ],
+        out_specs=pl.BlockSpec((1, tm, tn),
+                               lambda mi, mj, p, kk, ia, jb, grp, first:
+                               (grp[p], mi, mj)),
+    )
+    kern = functools.partial(_group_dot_kernel, nk)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n_groups, M, N), jnp.int32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel',
+                                 'arbitrary', 'arbitrary')),
+        interpret=_interpret(),
+    )(jnp.asarray(ia), jnp.asarray(jb), jnp.asarray(grp),
+      jnp.asarray(first), a_stack, b_stack)
+
+
 def _dot_left(c, u):
     """c[i] @ u[j] for the left (row) transform pass."""
     return jax.lax.dot_general(c, u, (((1,), (0,)), ((), ())),
@@ -309,7 +402,7 @@ def _horner_f64(groups, dtype=jnp.float64):
 
 
 def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
-                 fused_groups=False):
+                 fused_groups=False, pallas_groups=False):
     """M_row @ U @ M_col with both stages in int8/int32.
 
     Ms_row/Ms_col are [S,N,N] int8 slice stacks of the two constant
@@ -324,7 +417,9 @@ def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
     n_field = min(N_SLICES, STAGE1_PAIR + 1)
     Us, su = (slice_field_pallas(U, n_field) if pallas_slice
               else slice_field(U, n_field))
-    if fused_groups:
+    if pallas_groups:
+        g1 = pair_group_dots_pallas(Ms_row, Us, STAGE1_PAIR)
+    elif fused_groups:
         g1 = _pair_groups_fused(Ms_row, Us, max_pair=STAGE1_PAIR)
     else:
         g1 = _pair_groups(Ms_row, Us, _dot_left, max_pair=STAGE1_PAIR)
@@ -333,7 +428,9 @@ def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
     # in principle — but stage 2 only ever reads slots i <= STAGE2_PAIR
     # (its pair cutoff), so emission stops there
     t = _renorm_to_slices(g1, n_slices=min(N_SLICES + q, STAGE2_PAIR + 1))
-    if fused_groups:
+    if pallas_groups:
+        g2 = pair_group_dots_pallas(t, Ms_col, STAGE2_PAIR)
+    elif fused_groups:
         g2 = _pair_groups_fused(t, Ms_col, max_pair=STAGE2_PAIR)
     else:
         g2 = _pair_groups(t, Ms_col, _dot_right, max_pair=STAGE2_PAIR)
@@ -347,7 +444,8 @@ def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
 
 
 def dct2_ozaki(U, Cs, CsT, m_scale, constrain=lambda x: x,
-               pallas_slice=False, fused_groups=False):
+               pallas_slice=False, fused_groups=False,
+               pallas_groups=False):
     """Orthonormal 2-D DCT-II (C @ U @ C^T) via exact int8 passes.
     Matches :func:`chsimpy_tpu.ops.dct.dct2` to ~1e-15 relative.
 
@@ -359,12 +457,13 @@ def dct2_ozaki(U, Cs, CsT, m_scale, constrain=lambda x: x,
     N = U.shape[-1]
     m = jnp.mean(U)
     Y = _transform2d(U - m, Cs, CsT, m_scale, pallas_slice=pallas_slice,
-                     fused_groups=fused_groups)
+                     fused_groups=fused_groups, pallas_groups=pallas_groups)
     return Y.at[0, 0].add(m * N)
 
 
 def idct2_ozaki(X, Cs, CsT, m_scale, constrain=lambda x: x,
-                pallas_slice=False, fused_groups=False):
+                pallas_slice=False, fused_groups=False,
+                pallas_groups=False):
     """Orthonormal 2-D DCT-III (C^T @ X @ C), inverse of
     :func:`dct2_ozaki`.  The DC coefficient is split off analytically
     (idct2(e00) = ones/N) before slicing."""

@@ -240,3 +240,33 @@ def test_trimmed_slice_emission_is_prefix():
     t10 = np.asarray(ozaki._renorm_to_slices(groups, n_slices=10))
     t8 = np.asarray(ozaki._renorm_to_slices(groups, n_slices=8))
     np.testing.assert_array_equal(t10[:8], t8)
+
+
+def test_pair_group_dots_pallas_matches_pairwise():
+    """The VMEM group-accumulation kernel (interpret mode on CPU) equals
+    the pairwise XLA group sums exactly, on both stage shapes."""
+    rng = np.random.default_rng(14)
+    A = jnp.asarray(rng.integers(-64, 65, (6, 64, 64)), jnp.int8)
+    B = jnp.asarray(rng.integers(-64, 65, (8, 64, 64)), jnp.int8)
+    for max_pair in (ozaki.STAGE1_PAIR, ozaki.STAGE2_PAIR):
+        ref = ozaki._pair_groups(A, B, ozaki._dot_left, max_pair=max_pair)
+        got = ozaki.pair_group_dots_pallas(A, B, max_pair)
+        assert got.shape[0] == max_pair + 1
+        for k, g in enumerate(ref):
+            np.testing.assert_array_equal(np.asarray(got[k]),
+                                          np.asarray(g))
+
+
+def test_pallas_groups_transform_bitmatch():
+    """dct2/idct2 with pallas_groups=True are bit-identical to the
+    pairwise route (same int8 products, same int32 accumulation)."""
+    rng = np.random.default_rng(15)
+    x = jnp.asarray(0.875 + 0.01 * (rng.random((64, 64)) - 0.5),
+                    jnp.float64)
+    Cs, CsT, sc = ozaki.dct_slices(64)
+    ya = ozaki.dct2_ozaki(x, Cs, CsT, sc)
+    yb = ozaki.dct2_ozaki(x, Cs, CsT, sc, pallas_groups=True)
+    np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+    ua = ozaki.idct2_ozaki(ya, Cs, CsT, sc)
+    ub = ozaki.idct2_ozaki(ya, Cs, CsT, sc, pallas_groups=True)
+    np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))
