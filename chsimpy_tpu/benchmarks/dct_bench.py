@@ -136,6 +136,12 @@ def _roundtrip_fns(N, dtype):
                 ozaki.dct2_ozaki(x, Cs, CsT, sc, pallas_groups=True),
                 Cs, CsT, sc, pallas_groups=True)
         fns['ozaki-int8-pgroups'] = chain(body_oz_pg, Cs, CsT)
+
+        def body_oz_pf(x, C, Cs, CsT):
+            return ozaki.idct2_ozaki(
+                ozaki.dct2_ozaki(x, Cs, CsT, sc, pallas_fused=True),
+                Cs, CsT, sc, pallas_fused=True)
+        fns['ozaki-int8-pfused'] = chain(body_oz_pf, Cs, CsT)
     return fns
 
 

@@ -348,6 +348,115 @@ def pair_group_dots_pallas(a_stack, b_stack, max_pair):
       jnp.asarray(first), a_stack, b_stack)
 
 
+def _group_horner_kernel(nk, n_pairs, n_groups, ia_ref, jb_ref, grp_ref,
+                         first_ref, a_ref, b_ref, out_ref, acc_ref):
+    """Stage-2 fusion: every pair dot accumulates into its group's int32
+    VMEM scratch plane; at the tile's last grid step the group ladder is
+    recombined into a double-single (hi, lo) f32 pair — the same ~49-bit
+    value class XLA's emulated-f64 Horner produces, without ever writing
+    the int32 groups to HBM.
+
+    Exactness: each int32 group splits as t + r with t = (g>>12)<<12
+    (<= 19 significant bits) and r in [0, 4096) — both convert to f32
+    exactly, and the 2^{-7(k+2)} weights are pure exponent shifts, so the
+    16 ladder terms are EXACT f32 numbers; they are summed with
+    branch-free 2Sum error compensation (the terms decay 128x per group,
+    the compensated sum's error is O(2^-48) relative — the double-single
+    representation floor)."""
+    from jax.experimental import pallas as pl
+    p = pl.program_id(2)
+    kk = pl.program_id(3)
+
+    @pl.when((p == 0) & (kk == 0))
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    g = grp_ref[p]
+    prod = jax.lax.dot_general(
+        a_ref[0], b_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc_ref[pl.ds(g, 1), :, :] += prod[None]
+
+    @pl.when((p == n_pairs - 1) & (kk == nk - 1))
+    def _():
+        hi = jnp.zeros_like(prod, jnp.float32)
+        lo = jnp.zeros_like(prod, jnp.float32)
+        for k in range(n_groups):
+            gk = acc_ref[k]
+            tw = jnp.int32(12)  # literals are i64 under jax_enable_x64
+            t = jax.lax.shift_left(
+                jax.lax.shift_right_arithmetic(gk, tw), tw)
+            r = gk - t
+            w = jnp.float32(2.0 ** (-7 * (k + 2)))
+            for term in (t.astype(jnp.float32) * w,
+                         r.astype(jnp.float32) * w):
+                # branch-free 2Sum: exact error of hi + term into e
+                s1 = hi + term
+                bb = s1 - hi
+                e = (hi - (s1 - bb)) + (term - bb)
+                hi = s1
+                lo = lo + e
+        # renormalize once so |lo| <= ulp(hi)/2
+        s1 = hi + lo
+        out_ref[0] = s1
+        out_ref[1] = lo - (s1 - hi)
+
+
+def pair_group_horner_pallas(a_stack, b_stack, max_pair):
+    """Fused stage-2: group pair dots AND the Horner recombination in one
+    Pallas pass.  Returns (hi, lo) f32 fields with hi + lo ~= sum_k
+    group_k * 2^{-7(k+2)} to ~2^-48 relative — the caller lifts the pair
+    to f64 (exact adds) and applies the f64 scale.
+
+    vs :func:`pair_group_dots_pallas` + :func:`_horner_f64`: the int32
+    group planes (8 x 64 MB at N=4096) never touch HBM, and the
+    emulated-f64 Horner chain disappears; the kernel writes two f32
+    planes instead."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from .pallas_kernels import _interpret, _tile
+
+    Sa, M, K = a_stack.shape
+    Sb, K2, N = b_stack.shape
+    assert K == K2
+    ia, jb, grp, first = _pair_plan(Sa, Sb, max_pair)
+    n_groups = max_pair + 1
+    # the (n_groups, tm, tn) int32 scratch is the VMEM budget driver:
+    # 8 * 256 * 256 * 4 = 2 MiB at tm=tn=256 (+ operands + the double-
+    # buffered (2, tm, tn) f32 output) stays far under the ~12 MiB limit
+    tm, tn, tk = _tile(M, 256), _tile(N, 256), _tile(K, 512)
+    nk = K // tk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(M // tm, N // tn, len(ia), nk),
+        in_specs=[
+            pl.BlockSpec((1, tm, tk),
+                         lambda mi, mj, p, kk, ia, jb, grp, first:
+                         (ia[p], mi, kk)),
+            pl.BlockSpec((1, tk, tn),
+                         lambda mi, mj, p, kk, ia, jb, grp, first:
+                         (jb[p], kk, mj)),
+        ],
+        out_specs=pl.BlockSpec((2, tm, tn),
+                               lambda mi, mj, p, kk, ia, jb, grp, first:
+                               (0, mi, mj)),
+        scratch_shapes=[pltpu.VMEM((n_groups, tm, tn), jnp.int32)],
+    )
+    kern = functools.partial(_group_horner_kernel, nk, len(ia), n_groups)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((2, M, N), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel',
+                                 'arbitrary', 'arbitrary')),
+        interpret=_interpret(),
+    )(jnp.asarray(ia), jnp.asarray(jb), jnp.asarray(grp),
+      jnp.asarray(first), a_stack, b_stack)
+    return out[0], out[1]
+
+
 def _dot_left(c, u):
     """c[i] @ u[j] for the left (row) transform pass."""
     return jax.lax.dot_general(c, u, (((1,), (0,)), ((), ())),
@@ -402,7 +511,8 @@ def _horner_f64(groups, dtype=jnp.float64):
 
 
 def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
-                 fused_groups=False, pallas_groups=False):
+                 fused_groups=False, pallas_groups=False,
+                 pallas_fused=False):
     """M_row @ U @ M_col with both stages in int8/int32.
 
     Ms_row/Ms_col are [S,N,N] int8 slice stacks of the two constant
@@ -417,7 +527,7 @@ def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
     n_field = min(N_SLICES, STAGE1_PAIR + 1)
     Us, su = (slice_field_pallas(U, n_field) if pallas_slice
               else slice_field(U, n_field))
-    if pallas_groups:
+    if pallas_groups or pallas_fused:
         g1 = pair_group_dots_pallas(Ms_row, Us, STAGE1_PAIR)
     elif fused_groups:
         g1 = _pair_groups_fused(Ms_row, Us, max_pair=STAGE1_PAIR)
@@ -428,13 +538,20 @@ def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
     # in principle — but stage 2 only ever reads slots i <= STAGE2_PAIR
     # (its pair cutoff), so emission stops there
     t = _renorm_to_slices(g1, n_slices=min(N_SLICES + q, STAGE2_PAIR + 1))
-    if pallas_groups:
-        g2 = pair_group_dots_pallas(t, Ms_col, STAGE2_PAIR)
-    elif fused_groups:
-        g2 = _pair_groups_fused(t, Ms_col, max_pair=STAGE2_PAIR)
+    if pallas_fused:
+        # stage-2 dots + Horner in one kernel: (hi, lo) f32 pair lifted
+        # to f64 with two exact converts and one add (the pair is
+        # non-overlapping after the kernel's final renormalization)
+        hi, lo = pair_group_horner_pallas(t, Ms_col, STAGE2_PAIR)
+        z = hi.astype(dtype) + lo.astype(dtype)
     else:
-        g2 = _pair_groups(t, Ms_col, _dot_right, max_pair=STAGE2_PAIR)
-    z = _horner_f64(g2, jnp.dtype(dtype).type)
+        if pallas_groups:
+            g2 = pair_group_dots_pallas(t, Ms_col, STAGE2_PAIR)
+        elif fused_groups:
+            g2 = _pair_groups_fused(t, Ms_col, max_pair=STAGE2_PAIR)
+        else:
+            g2 = _pair_groups(t, Ms_col, _dot_right, max_pair=STAGE2_PAIR)
+        z = _horner_f64(g2, jnp.dtype(dtype).type)
     # total scale: (m_scale * su * 2^RENORM_SHIFT) from stage 1 * m_scale
     z = z * (su * jnp.asarray(
         m_scale * m_scale * 2.0 ** RENORM_SHIFT, dtype))
@@ -445,7 +562,7 @@ def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
 
 def dct2_ozaki(U, Cs, CsT, m_scale, constrain=lambda x: x,
                pallas_slice=False, fused_groups=False,
-               pallas_groups=False):
+               pallas_groups=False, pallas_fused=False):
     """Orthonormal 2-D DCT-II (C @ U @ C^T) via exact int8 passes.
     Matches :func:`chsimpy_tpu.ops.dct.dct2` to ~1e-15 relative.
 
@@ -457,13 +574,14 @@ def dct2_ozaki(U, Cs, CsT, m_scale, constrain=lambda x: x,
     N = U.shape[-1]
     m = jnp.mean(U)
     Y = _transform2d(U - m, Cs, CsT, m_scale, pallas_slice=pallas_slice,
-                     fused_groups=fused_groups, pallas_groups=pallas_groups)
+                     fused_groups=fused_groups, pallas_groups=pallas_groups,
+                     pallas_fused=pallas_fused)
     return Y.at[0, 0].add(m * N)
 
 
 def idct2_ozaki(X, Cs, CsT, m_scale, constrain=lambda x: x,
                 pallas_slice=False, fused_groups=False,
-                pallas_groups=False):
+                pallas_groups=False, pallas_fused=False):
     """Orthonormal 2-D DCT-III (C^T @ X @ C), inverse of
     :func:`dct2_ozaki`.  The DC coefficient is split off analytically
     (idct2(e00) = ones/N) before slicing."""
@@ -471,5 +589,6 @@ def idct2_ozaki(X, Cs, CsT, m_scale, constrain=lambda x: x,
     N = X.shape[-1]
     d = X[0, 0]
     u = _transform2d(X.at[0, 0].set(0.0), CsT, Cs, m_scale,
-                     pallas_slice=pallas_slice, fused_groups=fused_groups)
+                     pallas_slice=pallas_slice, fused_groups=fused_groups,
+                     pallas_groups=pallas_groups, pallas_fused=pallas_fused)
     return u + d / N

@@ -270,3 +270,27 @@ def test_pallas_groups_transform_bitmatch():
     ua = ozaki.idct2_ozaki(ya, Cs, CsT, sc)
     ub = ozaki.idct2_ozaki(ya, Cs, CsT, sc, pallas_groups=True)
     np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))
+
+
+def test_pallas_fused_stage2_error_class():
+    """The fused stage-2 kernel (group dots + double-single Horner in
+    VMEM) stays at the pairwise route's error class: the (hi, lo) f32
+    recombination carries ~49 bits, the same as XLA's emulated-f64
+    Horner on the chip."""
+    rng = np.random.default_rng(16)
+    for N in (64, 128):
+        Cs, CsT, sc = ozaki.dct_slices(N)
+        for field in (0.875 + 0.01 * (rng.random((N, N)) - 0.5),
+                      rng.standard_normal((N, N))):
+            x = jnp.asarray(field, jnp.float64)
+            ya = ozaki.dct2_ozaki(x, Cs, CsT, sc)
+            yb = ozaki.dct2_ozaki(x, Cs, CsT, sc, pallas_fused=True)
+            rel = float(jnp.max(jnp.abs(ya - yb))
+                        / jnp.max(jnp.abs(ya)))
+            assert rel < 2.0 ** -44, rel
+            ua = ozaki.idct2_ozaki(yb, Cs, CsT, sc, pallas_fused=True)
+            ua0 = ozaki.idct2_ozaki(ya, Cs, CsT, sc)
+            r_f = float(jnp.max(jnp.abs(ua - x)))
+            r_0 = float(jnp.max(jnp.abs(ua0 - x)))
+            # same roundtrip error class (within 4x of the standard)
+            assert r_f <= 4.0 * max(r_0, 1e-16), (r_f, r_0)
