@@ -457,6 +457,94 @@ def pair_group_horner_pallas(a_stack, b_stack, max_pair):
     return out[0], out[1]
 
 
+def _group_renorm_kernel(nk, n_pairs, n_groups, n_out, q,
+                         ia_ref, jb_ref, grp_ref, first_ref,
+                         a_ref, b_ref, out_ref, acc_ref):
+    """Stage-1 fusion: pair dots accumulate into per-group int32 VMEM
+    scratch; at the tile's last grid step the carry-renormalization chain
+    (:func:`_renorm_to_slices`, exact int32 shifts/masks) emits the int8
+    slot stack directly — the stage-1 group planes never touch HBM."""
+    from jax.experimental import pallas as pl
+    p = pl.program_id(2)
+    kk = pl.program_id(3)
+
+    @pl.when((p == 0) & (kk == 0))
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    g = grp_ref[p]
+    prod = jax.lax.dot_general(
+        a_ref[0], b_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc_ref[pl.ds(g, 1), :, :] += prod[None]
+
+    @pl.when((p == n_pairs - 1) & (kk == nk - 1))
+    def _():
+        c64 = jnp.int32(64)
+        c127 = jnp.int32(127)
+        c7 = jnp.int32(7)
+        carry = jnp.zeros_like(prod)
+        low_slot = n_groups + q
+        for j in range(low_slot, -1, -1):
+            k = j - q - 1
+            if 0 <= k < n_groups:
+                carry = carry + acc_ref[k]
+            r = ((carry + c64) & c127) - c64
+            if j < n_out:
+                out_ref[j] = r.astype(jnp.int8)
+            carry = jax.lax.shift_right_arithmetic(carry - r, c7)
+
+
+def pair_group_renorm_pallas(a_stack, b_stack, max_pair,
+                             n_out, shift: int = RENORM_SHIFT):
+    """Fused stage-1: group pair dots AND the carry renormalization in
+    one Pallas pass, emitting the [n_out, M, N] int8 slot stack in the
+    :func:`_renorm_to_slices` convention (bit-identical — the renorm is
+    exact integer arithmetic either way)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from .pallas_kernels import _interpret, _tile
+
+    assert shift % 7 == 0
+    q = shift // 7
+    Sa, M, K = a_stack.shape
+    Sb, K2, N = b_stack.shape
+    assert K == K2
+    ia, jb, grp, first = _pair_plan(Sa, Sb, max_pair)
+    n_groups = max_pair + 1
+    tm, tn, tk = _tile(M, 256), _tile(N, 256), _tile(K, 512)
+    nk = K // tk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(M // tm, N // tn, len(ia), nk),
+        in_specs=[
+            pl.BlockSpec((1, tm, tk),
+                         lambda mi, mj, p, kk, ia, jb, grp, first:
+                         (ia[p], mi, kk)),
+            pl.BlockSpec((1, tk, tn),
+                         lambda mi, mj, p, kk, ia, jb, grp, first:
+                         (jb[p], kk, mj)),
+        ],
+        out_specs=pl.BlockSpec((n_out, tm, tn),
+                               lambda mi, mj, p, kk, ia, jb, grp, first:
+                               (0, mi, mj)),
+        scratch_shapes=[pltpu.VMEM((n_groups, tm, tn), jnp.int32)],
+    )
+    kern = functools.partial(_group_renorm_kernel, nk, len(ia),
+                             n_groups, n_out, q)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n_out, M, N), jnp.int8),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel',
+                                 'arbitrary', 'arbitrary')),
+        interpret=_interpret(),
+    )(jnp.asarray(ia), jnp.asarray(jb), jnp.asarray(grp),
+      jnp.asarray(first), a_stack, b_stack)
+
+
 def _dot_left(c, u):
     """c[i] @ u[j] for the left (row) transform pass."""
     return jax.lax.dot_general(c, u, (((1,), (0,)), ((), ())),
@@ -527,17 +615,21 @@ def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
     n_field = min(N_SLICES, STAGE1_PAIR + 1)
     Us, su = (slice_field_pallas(U, n_field) if pallas_slice
               else slice_field(U, n_field))
-    if pallas_groups or pallas_fused:
-        g1 = pair_group_dots_pallas(Ms_row, Us, STAGE1_PAIR)
-    elif fused_groups:
-        g1 = _pair_groups_fused(Ms_row, Us, max_pair=STAGE1_PAIR)
-    else:
-        g1 = _pair_groups(Ms_row, Us, _dot_left, max_pair=STAGE1_PAIR)
     # the 2^RENORM_SHIFT static headroom occupies the top q slots of the
     # renormalized stack, so slot resolution runs to 2^-7(N_SLICES+q)
     # in principle — but stage 2 only ever reads slots i <= STAGE2_PAIR
     # (its pair cutoff), so emission stops there
-    t = _renorm_to_slices(g1, n_slices=min(N_SLICES + q, STAGE2_PAIR + 1))
+    n_slots = min(N_SLICES + q, STAGE2_PAIR + 1)
+    if pallas_fused:
+        t = pair_group_renorm_pallas(Ms_row, Us, STAGE1_PAIR, n_slots)
+    else:
+        if pallas_groups:
+            g1 = pair_group_dots_pallas(Ms_row, Us, STAGE1_PAIR)
+        elif fused_groups:
+            g1 = _pair_groups_fused(Ms_row, Us, max_pair=STAGE1_PAIR)
+        else:
+            g1 = _pair_groups(Ms_row, Us, _dot_left, max_pair=STAGE1_PAIR)
+        t = _renorm_to_slices(g1, n_slices=n_slots)
     if pallas_fused:
         # stage-2 dots + Horner in one kernel: (hi, lo) f32 pair lifted
         # to f64 with two exact converts and one add (the pair is

@@ -294,3 +294,20 @@ def test_pallas_fused_stage2_error_class():
             r_0 = float(jnp.max(jnp.abs(ua0 - x)))
             # same roundtrip error class (within 4x of the standard)
             assert r_f <= 4.0 * max(r_0, 1e-16), (r_f, r_0)
+
+
+def test_pair_group_renorm_pallas_bitmatch():
+    """The fused stage-1 kernel (group dots + carry renorm in VMEM) is
+    bit-identical to pairwise dots + _renorm_to_slices — the renorm is
+    exact integer arithmetic either way."""
+    rng = np.random.default_rng(17)
+    A = jnp.asarray(rng.integers(-64, 65, (8, 64, 64)), jnp.int8)
+    B = jnp.asarray(rng.integers(-64, 65, (6, 64, 64)), jnp.int8)
+    q = ozaki.RENORM_SHIFT // 7
+    n_out = min(ozaki.N_SLICES + q, ozaki.STAGE2_PAIR + 1)
+    ref = ozaki._renorm_to_slices(
+        ozaki._pair_groups(A, B, ozaki._dot_left,
+                           max_pair=ozaki.STAGE1_PAIR),
+        n_slices=n_out)
+    got = ozaki.pair_group_renorm_pallas(A, B, ozaki.STAGE1_PAIR, n_out)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
