@@ -94,8 +94,9 @@ FLAGS = [
          default='host'),
     Flag(('--kernels',), 'TPU',
          'Compute-path backend: XLA-fused ops or hand-tiled Pallas TPU '
-         'kernels', param='kernel_backend', choices=['xla', 'pallas'],
-         default='xla'),
+         'kernels (pallas-fused: ozaki transform only — both int8 stages '
+         'run as fused group-accumulation kernels)', param='kernel_backend',
+         choices=['xla', 'pallas', 'pallas-fused'], default='xla'),
     Flag(('--transform',), 'TPU',
          '2-D DCT route: matmul (MXU, shards under --mesh), split '
          '(folded matmul, ~1.5x faster on one chip at N>=1024), fft '

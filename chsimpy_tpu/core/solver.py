@@ -45,7 +45,23 @@ SPLIT_MIN_N = 1024
 
 def resolve_transform(params: Parameters) -> str:
     """Resolve Parameters.transform_backend ('auto' allowed) to the
-    concrete route for this run ('matmul' | 'split' | 'fft')."""
+    concrete route for this run ('matmul' | 'split' | 'fft' | 'ozaki')."""
+    resolved = _resolve_transform(params)
+    if getattr(params, 'kernel_backend', 'xla') == 'pallas-fused':
+        if resolved != 'ozaki':
+            raise ValueError(
+                "--kernels pallas-fused is the fused-ozaki measurement "
+                "mode (float64 int8 transform); it requires the ozaki "
+                f"transform, got '{resolved}'")
+        if params.mesh_shape is not None:
+            raise ValueError(
+                "--kernels pallas-fused does not shard under --mesh "
+                "(the fused stage kernels run single-device; sharded "
+                "ozaki uses the GSPMD-partitioned XLA dots)")
+    return resolved
+
+
+def _resolve_transform(params: Parameters) -> str:
     tb = getattr(params, 'transform_backend', 'auto') or 'auto'
     if tb == 'auto':
         if params.mesh_shape is not None:

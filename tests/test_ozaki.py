@@ -311,3 +311,47 @@ def test_pair_group_renorm_pallas_bitmatch():
         n_slices=n_out)
     got = ozaki.pair_group_renorm_pallas(A, B, ozaki.STAGE1_PAIR, n_out)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pallas_fused_kernel_backend_guards():
+    """--kernels pallas-fused is the fused-ozaki measurement mode: it
+    requires the ozaki transform and rejects --mesh."""
+    p = ct.Parameters()
+    p.precision = 'float64'
+    p.transform_backend = 'ozaki'
+    p.kernel_backend = 'pallas-fused'
+    assert ct.core.solver.resolve_transform(p) == 'ozaki'
+    p2 = ct.Parameters()
+    p2.kernel_backend = 'pallas-fused'   # auto-resolves to a non-ozaki
+    with pytest.raises(ValueError, match='pallas-fused'):
+        ct.core.solver.resolve_transform(p2)
+    p3 = ct.Parameters()
+    p3.precision = 'float64'
+    p3.transform_backend = 'ozaki'
+    p3.kernel_backend = 'pallas-fused'
+    p3.mesh_shape = (2, 2)
+    with pytest.raises(ValueError, match='mesh'):
+        ct.core.solver.resolve_transform(p3)
+
+
+def test_pallas_fused_solver_matches_xla_route():
+    """A short solve under --kernels pallas-fused equals the plain ozaki
+    route (interpret mode; the fused kernels' integer stages are exact
+    and the double-single recombination sits below the f64 noise of 30
+    steps)."""
+    def run(kernels):
+        p = ct.Parameters()
+        p.N = 32
+        p.ntmax = 20
+        p.precision = 'float64'
+        p.transform_backend = 'ozaki'
+        p.kernel_backend = kernels
+        p.kappa_tilde = 3e-4
+        p.no_gui = True
+        p.update_every = None
+        s = ct.core.solver.Solver(p)
+        s.prepare()
+        sol = s.solve_or_resume(20)
+        return np.asarray(sol.U)
+    np.testing.assert_allclose(run('pallas-fused'), run('xla'),
+                               rtol=0, atol=1e-11)
