@@ -348,8 +348,8 @@ def pair_group_dots_pallas(a_stack, b_stack, max_pair):
       jnp.asarray(first), a_stack, b_stack)
 
 
-def _group_horner_kernel(nk, n_pairs, n_groups, ia_ref, jb_ref, grp_ref,
-                         first_ref, a_ref, b_ref, out_ref, acc_ref):
+def _group_horner_kernel(nk, plan, n_groups, a_ref, b_ref, out_ref,
+                         acc_ref):
     """Stage-2 fusion: every pair dot accumulates into its group's int32
     VMEM scratch plane; at the tile's last grid step the group ladder is
     recombined into a double-single (hi, lo) f32 pair — the same ~49-bit
@@ -364,23 +364,13 @@ def _group_horner_kernel(nk, n_pairs, n_groups, ia_ref, jb_ref, grp_ref,
     the compensated sum's error is O(2^-48) relative — the double-single
     representation floor)."""
     from jax.experimental import pallas as pl
-    p = pl.program_id(2)
-    kk = pl.program_id(3)
+    kk = pl.program_id(2)
+    _pair_dots_into_scratch(plan, a_ref, b_ref, acc_ref, kk)
 
-    @pl.when((p == 0) & (kk == 0))
+    @pl.when(kk == nk - 1)
     def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    g = grp_ref[p]
-    prod = jax.lax.dot_general(
-        a_ref[0], b_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    acc_ref[pl.ds(g, 1), :, :] += prod[None]
-
-    @pl.when((p == n_pairs - 1) & (kk == nk - 1))
-    def _():
-        hi = jnp.zeros_like(prod, jnp.float32)
-        lo = jnp.zeros_like(prod, jnp.float32)
+        hi = jnp.zeros_like(acc_ref[0], jnp.float32)
+        lo = jnp.zeros_like(acc_ref[0], jnp.float32)
         for k in range(n_groups):
             gk = acc_ref[k]
             tw = jnp.int32(12)  # literals are i64 under jax_enable_x64
@@ -419,71 +409,72 @@ def pair_group_horner_pallas(a_stack, b_stack, max_pair):
     Sa, M, K = a_stack.shape
     Sb, K2, N = b_stack.shape
     assert K == K2
-    ia, jb, grp, first = _pair_plan(Sa, Sb, max_pair)
+    plan = _pair_plan(Sa, Sb, max_pair)
     n_groups = max_pair + 1
     # the (n_groups, tm, tn) int32 scratch is the VMEM budget driver:
-    # 8 * 256 * 256 * 4 = 2 MiB at tm=tn=256 (+ operands + the double-
-    # buffered (2, tm, tn) f32 output) stays far under the ~12 MiB limit
-    tm, tn, tk = _tile(M, 256), _tile(N, 256), _tile(K, 512)
+    # 8 * 256 * 512 * 4 = 4 MiB (+ whole-stack operand blocks + the
+    # double-buffered (2, tm, tn) f32 output) ~ 9 MiB total
+    tm, tn, tk = _tile(M, 256), _tile(N, 512), _tile(K, 256)
     nk = K // tk
+    grid, in_specs = _fused_stage_specs(Sa, Sb, M, N, K, tm, tn, tk)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(M // tm, N // tn, len(ia), nk),
-        in_specs=[
-            pl.BlockSpec((1, tm, tk),
-                         lambda mi, mj, p, kk, ia, jb, grp, first:
-                         (ia[p], mi, kk)),
-            pl.BlockSpec((1, tk, tn),
-                         lambda mi, mj, p, kk, ia, jb, grp, first:
-                         (jb[p], kk, mj)),
-        ],
-        out_specs=pl.BlockSpec((2, tm, tn),
-                               lambda mi, mj, p, kk, ia, jb, grp, first:
-                               (0, mi, mj)),
-        scratch_shapes=[pltpu.VMEM((n_groups, tm, tn), jnp.int32)],
-    )
-    kern = functools.partial(_group_horner_kernel, nk, len(ia), n_groups)
+    kern = functools.partial(_group_horner_kernel, nk, plan, n_groups)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((2, M, N), jnp.float32),
-        grid_spec=grid_spec,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((2, tm, tn),
+                               lambda mi, mj, kk: (jnp.int32(0), mi, mj),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n_groups, tm, tn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel',
-                                 'arbitrary', 'arbitrary')),
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
         interpret=_interpret(),
-    )(jnp.asarray(ia), jnp.asarray(jb), jnp.asarray(grp),
-      jnp.asarray(first), a_stack, b_stack)
+    )(a_stack, b_stack)
     return out[0], out[1]
 
 
-def _group_renorm_kernel(nk, n_pairs, n_groups, n_out, q,
-                         ia_ref, jb_ref, grp_ref, first_ref,
+def _pair_dots_into_scratch(plan, a_ref, b_ref, acc_ref, kk):
+    """Shared fused-stage body: at kk==0 every group's scratch plane is
+    initialized by its first pair's dot, later pairs and later kk steps
+    accumulate.  The pair plan is STATIC — the loop unrolls into 21/36
+    MXU dots per grid step with every operand already in VMEM (the slice
+    stacks ride in as whole-stack blocks, so each slice crosses HBM once
+    per output tile, not once per pair)."""
+    from jax.experimental import pallas as pl
+    for i, j, g, first in zip(*plan):
+        prod = jax.lax.dot_general(
+            a_ref[int(i)], b_ref[int(j)], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        if first:
+            @pl.when(kk == 0)
+            def _(g=int(g), prod=prod):
+                acc_ref[g] = prod
+
+            @pl.when(kk != 0)
+            def _(g=int(g), prod=prod):
+                acc_ref[g] += prod
+        else:
+            acc_ref[int(g)] += prod
+
+
+def _group_renorm_kernel(nk, plan, n_groups, n_out, q,
                          a_ref, b_ref, out_ref, acc_ref):
     """Stage-1 fusion: pair dots accumulate into per-group int32 VMEM
     scratch; at the tile's last grid step the carry-renormalization chain
     (:func:`_renorm_to_slices`, exact int32 shifts/masks) emits the int8
     slot stack directly — the stage-1 group planes never touch HBM."""
     from jax.experimental import pallas as pl
-    p = pl.program_id(2)
-    kk = pl.program_id(3)
+    kk = pl.program_id(2)
+    _pair_dots_into_scratch(plan, a_ref, b_ref, acc_ref, kk)
 
-    @pl.when((p == 0) & (kk == 0))
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    g = grp_ref[p]
-    prod = jax.lax.dot_general(
-        a_ref[0], b_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    acc_ref[pl.ds(g, 1), :, :] += prod[None]
-
-    @pl.when((p == n_pairs - 1) & (kk == nk - 1))
+    @pl.when(kk == nk - 1)
     def _():
         c64 = jnp.int32(64)
         c127 = jnp.int32(127)
         c7 = jnp.int32(7)
-        carry = jnp.zeros_like(prod)
+        carry = jnp.zeros_like(acc_ref[0])
         low_slot = n_groups + q
         for j in range(low_slot, -1, -1):
             k = j - q - 1
@@ -493,6 +484,25 @@ def _group_renorm_kernel(nk, n_pairs, n_groups, n_out, q,
             if j < n_out:
                 out_ref[j] = r.astype(jnp.int8)
             carry = jax.lax.shift_right_arithmetic(carry - r, c7)
+
+
+def _fused_stage_specs(Sa, Sb, M, N, K, tm, tn, tk):
+    """Whole-stack operand BlockSpecs + grid for the fused stage kernels.
+    A rides in as its full [Sa, tm, tk] slice stack per tile (HBM cost:
+    each slice once per output tile instead of once per pair — the
+    per-pair grid form measured out at ~3.5x the operand traffic)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    grid = (M // tm, N // tn, K // tk)
+    in_specs = [
+        pl.BlockSpec((Sa, tm, tk),
+                     lambda mi, mj, kk: (jnp.int32(0), mi, kk),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Sb, tk, tn),
+                     lambda mi, mj, kk: (jnp.int32(0), kk, mj),
+                     memory_space=pltpu.VMEM),
+    ]
+    return grid, in_specs
 
 
 def pair_group_renorm_pallas(a_stack, b_stack, max_pair,
@@ -510,39 +520,29 @@ def pair_group_renorm_pallas(a_stack, b_stack, max_pair,
     Sa, M, K = a_stack.shape
     Sb, K2, N = b_stack.shape
     assert K == K2
-    ia, jb, grp, first = _pair_plan(Sa, Sb, max_pair)
+    plan = _pair_plan(Sa, Sb, max_pair)
     n_groups = max_pair + 1
-    tm, tn, tk = _tile(M, 256), _tile(N, 256), _tile(K, 512)
+    # (tm, tn, tk) = (256, 512, 256): scratch 6*256*512*4 = 3 MiB +
+    # whole-stack operand blocks + the int8 output block ~ 7 MiB total
+    tm, tn, tk = _tile(M, 256), _tile(N, 512), _tile(K, 256)
     nk = K // tk
+    grid, in_specs = _fused_stage_specs(Sa, Sb, M, N, K, tm, tn, tk)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(M // tm, N // tn, len(ia), nk),
-        in_specs=[
-            pl.BlockSpec((1, tm, tk),
-                         lambda mi, mj, p, kk, ia, jb, grp, first:
-                         (ia[p], mi, kk)),
-            pl.BlockSpec((1, tk, tn),
-                         lambda mi, mj, p, kk, ia, jb, grp, first:
-                         (jb[p], kk, mj)),
-        ],
-        out_specs=pl.BlockSpec((n_out, tm, tn),
-                               lambda mi, mj, p, kk, ia, jb, grp, first:
-                               (0, mi, mj)),
-        scratch_shapes=[pltpu.VMEM((n_groups, tm, tn), jnp.int32)],
-    )
-    kern = functools.partial(_group_renorm_kernel, nk, len(ia),
+    kern = functools.partial(_group_renorm_kernel, nk, plan,
                              n_groups, n_out, q)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n_out, M, N), jnp.int8),
-        grid_spec=grid_spec,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((n_out, tm, tn),
+                               lambda mi, mj, kk: (jnp.int32(0), mi, mj),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n_groups, tm, tn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel',
-                                 'arbitrary', 'arbitrary')),
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
         interpret=_interpret(),
-    )(jnp.asarray(ia), jnp.asarray(jb), jnp.asarray(grp),
-      jnp.asarray(first), a_stack, b_stack)
+    )(a_stack, b_stack)
 
 
 def _dot_left(c, u):
