@@ -77,10 +77,26 @@ def build_pipelines(N):
     def p4_full(x, Cs, CsT, sc):
         return ozaki.dct2_ozaki(x, Cs, CsT, sc)
 
+    # fused-kernel counterparts (round 2.9): F3 = stage-1 fused kernel
+    # (group dots + renorm in VMEM), F4 = full transform with both fused
+    # stage kernels — difference vs P3/P4 is the group-plane HBM traffic
+    # + the emulated-f64 Horner
+    def f3_renorm(x, Cs, CsT, sc):
+        Us, su = ozaki.slice_field(x, n_field)
+        t = ozaki.pair_group_renorm_pallas(Cs, Us, ozaki.STAGE1_PAIR,
+                                           n_renorm)
+        r = _recombine(t, su * sc * dt(2.0 ** ozaki.RENORM_SHIFT), dt)
+        return jax.lax.optimization_barrier(r)
+
+    def f4_full(x, Cs, CsT, sc):
+        return ozaki.dct2_ozaki(x, Cs, CsT, sc, pallas_fused=True)
+
     return {'P1 slice+recombine': p1_slice,
             'P2 +stage1 dots': p2_stage1,
             'P3 +renorm': p3_renorm,
-            'P4 full dct2': p4_full}
+            'P4 full dct2': p4_full,
+            'F3 fused stage1': f3_renorm,
+            'F4 fused dct2': f4_full}
 
 
 def time_pipeline(fn, x, consts, inner, reps):

@@ -34,7 +34,13 @@ def main():
                     help="force a transform route (e.g. ozaki, split, "
                          "matmul); default: the solver's auto choice")
     ap.add_argument('--goldens', default='n64_lcg_200,n128_uniform_300')
+    ap.add_argument('--kernels', default=None,
+                    choices=['xla', 'pallas', 'pallas-fused'],
+                    help="force the kernel backend (pallas-fused implies "
+                         "--transform ozaki)")
     args = ap.parse_args()
+    if args.kernels == 'pallas-fused' and not args.transform:
+        args.transform = 'ozaki'
 
     import jax
     import chsimpy_tpu as ct
@@ -51,6 +57,8 @@ def main():
             setattr(p, k, v)
         if args.transform:
             p.transform_backend = args.transform
+        if args.kernels:
+            p.kernel_backend = args.kernels
         sim = ct.Simulator(p)
         sol = sim.solve()
         td = sol.timedata.data()
