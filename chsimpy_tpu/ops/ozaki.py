@@ -406,6 +406,8 @@ def pair_group_horner_pallas(a_stack, b_stack, max_pair):
     from jax.experimental.pallas import tpu as pltpu
     from .pallas_kernels import _interpret, _tile
 
+    a_stack = a_stack[:max_pair + 1]   # see pair_group_renorm_pallas
+    b_stack = b_stack[:max_pair + 1]
     Sa, M, K = a_stack.shape
     Sb, K2, N = b_stack.shape
     assert K == K2
@@ -517,6 +519,10 @@ def pair_group_renorm_pallas(a_stack, b_stack, max_pair,
 
     assert shift % 7 == 0
     q = shift // 7
+    # slices past index max_pair can never join a pair (i + j <= max_pair
+    # with both >= 0) — trim them from the whole-stack blocks
+    a_stack = a_stack[:max_pair + 1]
+    b_stack = b_stack[:max_pair + 1]
     Sa, M, K = a_stack.shape
     Sb, K2, N = b_stack.shape
     assert K == K2
