@@ -130,16 +130,28 @@ def main(argv=None):
                                     .random((args.N, args.N)) - 0.5),
                     jnp.float64)
     consts = ozaki.dct_slices(args.N)
+    # P rows difference against the previous P row (cumulative
+    # prefixes); F rows difference against their production counterpart
+    baseline_of = {'F3 fused stage1': 'P3 +renorm',
+                   'F4 fused dct2': 'P4 full dct2'}
     rows = []
     prev = 0.0
+    seen = {}
     for name, fn in build_pipelines(args.N).items():
         med, best = time_pipeline(fn, x, consts, args.inner, args.reps)
-        print(f"{name}: {med:.2f} ms median ({best:.2f} best), "
-              f"delta {med - prev:+.2f} ms")
+        seen[name] = med
+        if name in baseline_of:
+            base = baseline_of[name]
+            delta = med - seen[base]
+            label = f"vs {base.split()[0]} {delta:+.2f} ms"
+        else:
+            delta = med - prev
+            label = f"delta {delta:+.2f} ms"
+            prev = med
+        print(f"{name}: {med:.2f} ms median ({best:.2f} best), {label}")
         rows.append({'pipeline': name, 'ms_median': round(med, 3),
                      'ms_best': round(best, 3),
-                     'ms_delta': round(med - prev, 3)})
-        prev = med
+                     'ms_delta': round(delta, 3)})
     if args.out:
         with open(args.out, 'w') as f:
             json.dump({'N': args.N, 'results': rows}, f, indent=1)

@@ -260,6 +260,10 @@ def _pair_plan(Sa, Sb, max_pair):
     i + j <= max_pair, sorted by group k = i + j so every output group is
     visited in one consecutive grid run (the VMEM accumulator then never
     leaves the chip between pairs of a group)."""
+    # every group k <= max_pair must own at least one pair, else its
+    # output/scratch plane would flow downstream uninitialized (the XLA
+    # pairwise form fails loudly on the same misuse)
+    assert max_pair <= Sa + Sb - 2, (max_pair, Sa, Sb)
     ia, jb, grp, first = [], [], [], []
     for k in range(max_pair + 1):
         i0, i1 = max(0, k - (Sb - 1)), min(k, Sa - 1)
@@ -272,7 +276,7 @@ def _pair_plan(Sa, Sb, max_pair):
             np.asarray(grp, np.int32), np.asarray(first, np.int32))
 
 
-def _group_dot_kernel(nk, ia_ref, jb_ref, grp_ref, first_ref,
+def _group_dot_kernel(ia_ref, jb_ref, grp_ref, first_ref,
                       a_ref, b_ref, out_ref):
     """One grid step: add a (tm, tk) x (tk, tn) int8 pair-dot tile into
     the group's int32 output block.  The output block IS the accumulator
@@ -335,9 +339,8 @@ def pair_group_dots_pallas(a_stack, b_stack, max_pair):
                                lambda mi, mj, p, kk, ia, jb, grp, first:
                                (grp[p], mi, mj)),
     )
-    kern = functools.partial(_group_dot_kernel, nk)
     return pl.pallas_call(
-        kern,
+        _group_dot_kernel,
         out_shape=jax.ShapeDtypeStruct((n_groups, M, N), jnp.int32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -528,6 +531,9 @@ def pair_group_renorm_pallas(a_stack, b_stack, max_pair,
     assert K == K2
     plan = _pair_plan(Sa, Sb, max_pair)
     n_groups = max_pair + 1
+    # the renorm loop writes slots j <= n_groups + q only; larger n_out
+    # would leave uninitialized int8 planes (XLA zero-fills them instead)
+    assert n_out <= n_groups + q + 1, (n_out, n_groups, q)
     # (tm, tn, tk) = (256, 512, 256): scratch 6*256*512*4 = 3 MiB +
     # whole-stack operand blocks + the int8 output block ~ 7 MiB total
     tm, tn, tk = _tile(M, 256), _tile(N, 512), _tile(K, 256)

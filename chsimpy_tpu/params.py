@@ -71,7 +71,9 @@ class Parameters:
     chunk_size: int = 1024            # device steps per host round-trip
     mesh_shape: Optional[tuple] = None  # e.g. (2, 4) for a 2-D ('x','y') grid mesh
     jitter_backend: str = 'host'      # host (bit-exact RNG) | device (threefry)
-    kernel_backend: str = 'xla'       # xla | pallas (hand-tiled TPU kernels)
+    kernel_backend: str = 'xla'       # xla | pallas | pallas-fused
+                                      # (pallas-fused: fused ozaki stage
+                                      # kernels, float64 measurement mode)
     # MXU pass count for f32 DCT matmuls; None resolves to 'high' in float32
     # mode (measured: same trace quality as 'highest' at ~1.8x speed) and
     # 'highest' in float64 mode

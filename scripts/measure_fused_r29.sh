@@ -6,6 +6,7 @@
 # then the accuracy gates, then end-to-end steps/s.  Each step appends to
 # the log so a mid-battery tunnel drop keeps partial results.
 set -u
+set -o pipefail
 cd "$(dirname "$0")/.."
 LOG=${1:-fused_r29_measurements.log}
 echo "== fused-ozaki r2.9 battery $(date -u +%FT%TZ) ==" | tee -a "$LOG"
@@ -13,13 +14,13 @@ echo "== fused-ozaki r2.9 battery $(date -u +%FT%TZ) ==" | tee -a "$LOG"
 run() {
     echo "--- $* ---" | tee -a "$LOG"
     timeout 1800 "$@" 2>&1 | tee -a "$LOG"
-    echo "exit=$?" | tee -a "$LOG"
+    echo "exit=${PIPESTATUS[0]}" | tee -a "$LOG"
 }
 
 # 1. transform bake-off: fused routes vs the production pairwise route
 run python -m chsimpy_tpu.benchmarks.dct_bench \
     --sizes 2048,4096 --dtypes float64 \
-    --routes ozaki-int8:,pslice,pgroups,pfused --reps 4
+    --routes ozaki-int8 --reps 4
 
 # 2. component profile (P-rows = production, F-rows = fused kernels)
 run python -m chsimpy_tpu.benchmarks.ozaki_profile -N 4096 --inner 10 --reps 4

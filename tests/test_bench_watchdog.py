@@ -43,8 +43,7 @@ def test_probe_backend_honors_jax_platforms_cpu():
     r = subprocess.run([sys.executable, '-c', code], env=env,
                        capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stderr[-500:]
-    assert r.stdout.strip().endswith('True cpu'.replace('True ', '')) or \
-        'True cpu' in r.stdout, r.stdout
+    assert r.stdout.strip() == 'True cpu', r.stdout
 
 
 def test_probe_timeout_reports_hang(monkeypatch):
