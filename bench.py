@@ -26,12 +26,19 @@ REF_CPU_N512_STEPS_PER_S = 34.47     # measured in this container
 # The axon TPU tunnel fails by HANGING, not erroring (CLAUDE.md rule 1:
 # a held or dead endpoint blocks jax backend init forever, silently).  The
 # driver needs its one JSON line either way, so (a) the backend is probed
-# in a throwaway subprocess with a hard timeout before the real run, and
+# in throwaway subprocesses with hard timeouts before the real run, and
 # (b) a whole-run alarm emits the line if anything later wedges.
-PROBE_TIMEOUT_S = 300        # fresh tunnel handshake is seconds; 5 min is
+#
+# The tunnel demonstrably FLAPS on multi-hour scales (it zeroed round 2's
+# artifact with a single 300 s probe), so the probe is a retry loop: keep
+# re-probing until the retry budget is spent, leaving enough watchdog time
+# for the measured sweep itself.
+PROBE_TIMEOUT_S = 120        # fresh tunnel handshake is seconds; 2 min is
                              # far past any healthy case
-TOTAL_TIMEOUT_S = 55 * 60    # fresh large-shape compiles took 5-10 min
-                             # during round 2; 55 min covers a cold cache
+PROBE_RETRY_SLEEP_S = 150    # wait between failed probes
+PROBE_BUDGET_S = 38 * 60     # keep probing this long before giving up
+TOTAL_TIMEOUT_S = 55 * 60    # warm .xla_cache makes the sweep itself a
+                             # few minutes; 55-38 leaves >15 min for it
 
 
 def _emit_failure(reason, detail=None):
@@ -42,7 +49,7 @@ def _emit_failure(reason, detail=None):
     sys.stdout.flush()
 
 
-def _probe_backend():
+def _probe_backend_once():
     """True if a fresh process can initialize the default jax backend.
 
     Honors JAX_PLATFORMS the same way the CLI does (the axon plugin
@@ -60,6 +67,31 @@ def _probe_backend():
     if r.returncode != 0:
         return False, f'backend init failed: {r.stderr.strip()[-200:]}'
     return True, r.stdout.strip()
+
+
+def _probe_backend():
+    """Retry-loop probe: a flapping tunnel must not zero the round.
+
+    Probes until one succeeds or PROBE_BUDGET_S elapses; reports the
+    attempt count and total wait in the failure detail so an outage is
+    distinguishable from a code bug in the artifact."""
+    t0 = time.time()
+    attempts = 0
+    while True:
+        attempts += 1
+        ok, info = _probe_backend_once()
+        elapsed = time.time() - t0
+        if ok:
+            if attempts > 1:
+                print(f"backend up after {attempts} probes / {elapsed:.0f}s",
+                      file=sys.stderr)
+            return True, info
+        print(f"probe {attempts} failed ({info}); {elapsed:.0f}s elapsed",
+              file=sys.stderr)
+        if elapsed + PROBE_RETRY_SLEEP_S + PROBE_TIMEOUT_S > PROBE_BUDGET_S:
+            return False, (f'{info} [after {attempts} probes over '
+                           f'{elapsed:.0f}s]')
+        time.sleep(PROBE_RETRY_SLEEP_S)
 
 
 def _alarm_handler(signum, frame):  # pragma: no cover

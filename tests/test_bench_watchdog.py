@@ -57,6 +57,37 @@ def test_probe_timeout_reports_hang(monkeypatch):
         return real_run([sys.executable, '-c', 'import time; time.sleep(60)'],
                         **kw)
     monkeypatch.setattr(bench.subprocess, 'run', fake_run)
-    ok, info = bench._probe_backend()
+    ok, info = bench._probe_backend_once()
     assert not ok
     assert 'hung' in info
+
+
+def test_probe_retry_loop_survives_transient_outage(monkeypatch, capsys):
+    """The round-2 failure mode: one failed probe must NOT zero the round.
+    The retry loop keeps probing inside its budget and succeeds when the
+    tunnel comes back; when it never does, the failure detail records the
+    attempt count so an outage is distinguishable from a code bug."""
+    bench = _load_bench()
+    monkeypatch.setattr(bench, 'PROBE_TIMEOUT_S', 1)
+    monkeypatch.setattr(bench, 'PROBE_RETRY_SLEEP_S', 0.01)
+    monkeypatch.setattr(bench, 'PROBE_BUDGET_S', 30)
+
+    calls = {'n': 0}
+
+    def flapping_probe():
+        calls['n'] += 1
+        if calls['n'] < 3:
+            return False, 'probe hung (tunnel down)'
+        return True, 'tpu'
+    monkeypatch.setattr(bench, '_probe_backend_once', flapping_probe)
+    ok, info = bench._probe_backend()
+    assert ok and calls['n'] == 3
+
+    # permanent outage: budget exhausted, attempts recorded
+    calls['n'] = 0
+    monkeypatch.setattr(bench, '_probe_backend_once',
+                        lambda: (False, 'probe hung (tunnel down)'))
+    monkeypatch.setattr(bench, 'PROBE_BUDGET_S', 0.05)
+    ok, info = bench._probe_backend()
+    assert not ok
+    assert 'probes over' in info
