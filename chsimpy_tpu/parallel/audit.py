@@ -44,16 +44,28 @@ def collect_collectives(hlo_text: str) -> list:
     out = []
     for line in hlo_text.splitlines():
         s = line.strip()
-        m = re.match(r'.*?=\s*(\S+)\s+([a-z\-]+)(?:-(?:start|done))?\(', s)
+        m = re.match(r'.*?=\s*(\S+)\s+([a-z\-]+)\(', s)
         if not m:
             continue
         shape_str, op = m.groups()
+        # async collectives lower to op-start/op-done pairs; count the
+        # -start (it carries the transfer) and drop the -done so the same
+        # collective isn't counted twice
+        if op.endswith('-done'):
+            continue
+        is_start = op.endswith('-start')
+        op = re.sub(r'-start$', '', op)
         if op not in _COLLECTIVES:
             continue
-        # tuple shapes: count every element
-        nbytes = sum(_shape_bytes(p)
-                     for p in re.findall(r'\w+\[[\d,]*\]', shape_str)) \
-            or _shape_bytes(shape_str)
+        parts = [_shape_bytes(p)
+                 for p in re.findall(r'\w+\[[\d,]*\]', shape_str)]
+        if is_start:
+            # -start shapes are (operand, result) tuples; the transfer is
+            # the result, i.e. the largest element — summing would count
+            # the same collective's bytes twice
+            nbytes = max(parts, default=0)
+        else:
+            nbytes = sum(parts) or _shape_bytes(shape_str)
         out.append({'op': op, 'shape': shape_str, 'bytes': nbytes,
                     'line': s[:160]})
     return out
