@@ -19,11 +19,13 @@ runs have their own pair (:func:`save_ensemble_checkpoint` /
 from __future__ import annotations
 
 import json
-import pickle
 
 import numpy as np
 
-FORMAT_VERSION = 1
+# v2: the host generator stream position is structured JSON in the header
+# (FieldGenerator.state_dict) instead of a pickle blob — restoring a
+# checkpoint must never execute code from the file.
+FORMAT_VERSION = 2
 
 
 def save_checkpoint(fname: str, solver) -> None:
@@ -39,18 +41,18 @@ def save_checkpoint(fname: str, solver) -> None:
         'time_delta_sum': solver.time_delta_sum,
         'delt': solver.delt,
         'params': solver.params.scalar_dict(),
+        # host generator stream position (jitter / uniform / sobol state),
+        # structured — no pickle on either side
+        'generator_state': (solver.generator.state_dict()
+                            if solver.generator is not None else None),
     }
     state = solver._state
-    # the host generator stream position (jitter / uniform / sobol state)
-    gen_blob = (np.frombuffer(pickle.dumps(solver.generator), dtype=np.uint8)
-                if solver.generator is not None else np.zeros(0, np.uint8))
     np.savez_compressed(
         fname,
         header=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
         U=np.asarray(state.U, dtype=np.float64),
         timedata=sol.timedata.data(),
         rng_key=np.asarray(state.rng_key),
-        generator=gen_blob,
         U_init=np.asarray(solver.U_init, dtype=np.float64),
     )
 
@@ -76,7 +78,7 @@ def load_checkpoint(fname: str):
         'U': z['U'],
         'timedata': z['timedata'],
         'rng_key': z['rng_key'],
-        'generator': bytes(z['generator']) if z['generator'].size else None,
+        'generator_state': header.get('generator_state'),
         'U_init': z['U_init'],
     }
     return params, payload
@@ -92,8 +94,10 @@ def restore_solver(fname: str):
     params, payload = load_checkpoint(fname)
     h = payload['header']
     solver = Solver(params, U_init=payload['U_init'])
-    if payload['generator'] is not None:
-        solver.generator = pickle.loads(payload['generator'])
+    if payload['generator_state'] is not None:
+        from .rng import FieldGenerator
+        solver.generator = FieldGenerator.from_state(
+            payload['generator_state'])
     solver.skip_check = h['skip_check']
     solver.time_delta_sum = h['time_delta_sum']
     solver.time_passed = h['time_delta_sum'] / params.M_tilde
@@ -151,9 +155,9 @@ def save_ensemble_checkpoint(fname: str, ens) -> None:
         'R': ens.R,
         'params': ens.params.scalar_dict(),
         'row_counts': [len(td) for td in ens.timedatas],
+        'generator_state': (ens.generator.state_dict()
+                            if ens.generator is not None else None),
     }
-    gen_blob = (np.frombuffer(pickle.dumps(ens.generator), dtype=np.uint8)
-                if ens.generator is not None else np.zeros(0, np.uint8))
     np.savez_compressed(
         fname,
         header=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
@@ -164,7 +168,6 @@ def save_ensemble_checkpoint(fname: str, ens) -> None:
         timedata=np.concatenate([td.data() for td in ens.timedatas],
                                 axis=0),
         U_init=np.asarray(ens.U_init, dtype=np.float64),
-        generator=gen_blob,
         **{f'm_{n}': np.asarray(v) for n, v in per_member.items()},
     )
 
@@ -194,8 +197,9 @@ def restore_ensemble(fname: str, mesh=None):
 
     ens = EnsembleSolver(params, np.asarray(z['A_pairs']),
                          U_init=np.asarray(z['U_init']), mesh=mesh)
-    if z['generator'].size:
-        ens.generator = pickle.loads(bytes(z['generator']))
+    if header.get('generator_state') is not None:
+        from .rng import FieldGenerator
+        ens.generator = FieldGenerator.from_state(header['generator_state'])
     ens.prepare()
 
     # per-member traces

@@ -118,6 +118,12 @@ FLAGS = [
     Flag(('--Uinit-file',), 'Input',
          'Initial U matrix file (csv or bz2 format).',
          param='Uinit_file'),
+    Flag(('--restore',), 'Input',
+         'Resume from a checkpoint file (see --checkpoint-file): continues '
+         'the exact trajectory — field, trace, counters, RNG stream. The '
+         "checkpoint's physics parameters win; run-control flags (-n, "
+         '--update-every, output flags) come from this command line.',
+         param='restore_file'),
     # --- Output (reference cli_parser.py:96-131) ---
     Flag(('-f', '--file-id'), 'Output',
          'Filenames have an id like "<ID>...yaml" ("auto" creates a '
@@ -148,6 +154,14 @@ FLAGS = [
     Flag(('--no-diagrams',), 'Output',
          'No diagrams or axes, it only renders the image map of U.',
          param='no_diagrams', action='store_true'),
+    Flag(('--checkpoint-file',), 'Output',
+         'Save the full resumable solver state (npz: field, trace, '
+         'counters, RNG stream position) here at the end of the run '
+         '(and periodically with --checkpoint-every); resume with '
+         '--restore.', param='checkpoint_file'),
+    Flag(('--checkpoint-every',), 'Output',
+         'Also save the checkpoint about every n steps (snapped to '
+         'device-chunk boundaries).', param='checkpoint_every', type=int),
 ]
 
 

@@ -224,9 +224,10 @@ class Solver:
         self._state: Optional[SolverState] = None
         # placeholder so the runner signature is stable in all modes
         self._null_jbuf = jnp.zeros((), self.cfg.jdtype)
-        if jitter_mode == 'static':
-            self._static_jbuf = jnp.asarray(
-                self.generator.next_sample(), self.cfg.jdtype)
+        # static jitter buffer is drawn lazily at first use: with an
+        # explicit U_init there is no generator yet, and checkpoint
+        # restore installs the saved stream *after* construction
+        self._static_jbuf = None
 
     # ------------------------------------------------------------------
     def prepare(self) -> None:
@@ -268,14 +269,27 @@ class Solver:
         self._prepared = True
 
     # ------------------------------------------------------------------
+    def _ensure_generator(self) -> FieldGenerator:
+        """Jitter needs a sample stream even when U came from --Uinit-file
+        or a checkpoint; build one from (generator, N, seed) unless a
+        restored stream was installed after construction."""
+        if self.generator is None:
+            self.generator = FieldGenerator(
+                self.params.generator, self.params.N, self.params.seed)
+        return self.generator
+
     def _draw_jitter_buf(self, k: int):
         if self._jitter_mode == 'stream':
+            gen = self._ensure_generator()
             slabs = np.empty((self.chunk_size, self.params.N, self.params.N),
                              dtype=np.float64)
             for i in range(k):
-                slabs[i] = self.generator.next_sample()
+                slabs[i] = gen.next_sample()
             return jnp.asarray(slabs, self.cfg.jdtype)
         if self._jitter_mode == 'static':
+            if self._static_jbuf is None:
+                self._static_jbuf = jnp.asarray(
+                    self._ensure_generator().next_sample(), self.cfg.jdtype)
             return self._static_jbuf
         return self._null_jbuf
 
@@ -302,6 +316,9 @@ class Solver:
                 stop_reason=jnp.asarray(state_mod.STOP_NONE, jnp.int32))
             self.solution.stop_reason = 'None'
 
+        every = self.params.checkpoint_every
+        ckpt = self.params.checkpoint_file
+        last_saved = self.solution.computed_steps
         while n_iters > 0 and self.solution.stop_reason == 'None':
             k = min(n_iters, self.chunk_size)
             jbuf = self._draw_jitter_buf(k)
@@ -309,6 +326,15 @@ class Solver:
                                     self._consts, jbuf)
             n_iters -= k
             state = self._sync(state)
+            if (ckpt and every
+                    and self.solution.computed_steps - last_saved >= every):
+                # periodic resumable snapshot at the chunk boundary (the
+                # device while_loop is opaque mid-chunk)
+                self._state = state
+                self.solution.U = state.U
+                from ..checkpoint import save_checkpoint
+                save_checkpoint(ckpt, self)
+                last_saved = self.solution.computed_steps
 
         self._state = state
         # keep U as the device array: pulling it to the host costs a full

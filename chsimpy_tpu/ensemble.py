@@ -132,9 +132,16 @@ class EnsembleSolver:
         self._prepare = make_ensemble_prepare(self.cfg)
         dtype = self.cfg.jdtype
         self._null_jbuf = jnp.zeros((), dtype)
-        if jitter_mode == 'static':
-            self._static_jbuf = jnp.asarray(self.generator.next_sample(),
-                                            dtype)
+        # static jitter buffer is drawn lazily at first use: with an
+        # explicit U_init there is no generator yet, and
+        # checkpoint.restore_ensemble installs the saved stream *after*
+        # construction
+        self._static_jbuf = None
+        # entry spectral recompute, built once (rebuilding per
+        # solve_or_resume call retraces against the remote compile service)
+        self._entry_dct2 = jax.jit(jax.vmap(
+            stepper_mod.make_entry_dct2(self.cfg),
+            in_axes=(0, CONSTS_BATCH_AXES)))
         self._states = None
         self.timedatas = [TimeData() for _ in range(self.R)]
         self._solutions = None
@@ -225,14 +232,27 @@ class EnsembleSolver:
         self._stop = np.zeros(self.R, dtype=np.int64)
 
     # ------------------------------------------------------------------
+    def _ensure_generator(self) -> FieldGenerator:
+        """Jitter needs a sample stream even when U_init was passed
+        explicitly (e.g. by checkpoint.restore_ensemble, which installs
+        the saved stream after construction)."""
+        if self.generator is None:
+            self.generator = FieldGenerator(
+                self.params.generator, self.params.N, self.params.seed)
+        return self.generator
+
     def _draw_jitter_buf(self, k):
         if self._jitter_mode == 'stream':
+            gen = self._ensure_generator()
             slabs = np.empty((self.chunk_size, self.params.N, self.params.N),
                              dtype=np.float64)
             for i in range(k):
-                slabs[i] = self.generator.next_sample()
+                slabs[i] = gen.next_sample()
             return jnp.asarray(slabs, self.cfg.jdtype)
         if self._jitter_mode == 'static':
+            if self._static_jbuf is None:
+                self._static_jbuf = jnp.asarray(
+                    self._ensure_generator().next_sample(), self.cfg.jdtype)
             return self._static_jbuf
         return self._null_jbuf
 
@@ -263,11 +283,8 @@ class EnsembleSolver:
         # reference recomputes the spectral image at every (re)entry
         # (transform operands as arguments — see member_coeffs note); same
         # transform route as the in-loop step
-        entry_dct2 = jax.jit(jax.vmap(
-            stepper_mod.make_entry_dct2(self.cfg),
-            in_axes=(0, CONSTS_BATCH_AXES)))
         states = states.replace(
-            hat_U=entry_dct2(states.U, self._consts))
+            hat_U=self._entry_dct2(states.U, self._consts))
         if n_iters > 0:
             # reference parity: re-entry after a stop continues each member
             states = states.replace(

@@ -58,6 +58,13 @@ class Parameters:
     no_diagrams: bool = False
     Uinit_file: Optional[str] = None
 
+    # --- checkpoint/resume (TPU extension; the reference's only resume is
+    # --Uinit-file, which restarts the trace — these continue it exactly) ---
+    checkpoint_file: Optional[str] = None   # save full solver state here
+    checkpoint_every: Optional[int] = None  # also save every ~n steps
+                                            # (chunk-boundary granularity)
+    restore_file: Optional[str] = None      # resume from this checkpoint
+
     # --- A0/A1 interaction model as data (reference: func_A0/func_A1 lambdas,
     # chsimpy/parameters.py:66-67; constant CLI overrides cli_parser.py:157-160;
     # multiplicative UQ factors experiment.py:95-99) ---

@@ -104,6 +104,45 @@ class FieldGenerator:
             "the 'lcg' generator has no sample stream (matches the "
             "reference, where jitter with -g lcg is unsupported)")
 
+    # -- explicit (pickle-free) stream-position serialization ----------
+    #
+    # Checkpoints must not execute arbitrary code on restore, so the
+    # stream state is structured data: PCG64 words for 'uniform', the
+    # draw count for 'sobol' (scipy's engine replays deterministically
+    # via fast_forward), nothing extra for the stateless kinds.
+
+    def state_dict(self) -> dict:
+        """JSON-serializable stream position (see :meth:`from_state`)."""
+        d = {'kind': self.kind, 'N': self.N, 'seed': self.seed}
+        if self.kind == 'uniform':
+            st = self._rng.bit_generator.state
+            # 128-bit ints as strings: survives any JSON reader
+            d['pcg64'] = {'state': str(st['state']['state']),
+                          'inc': str(st['state']['inc']),
+                          'has_uint32': int(st['has_uint32']),
+                          'uinteger': int(st['uinteger'])}
+        elif self.kind == 'sobol':
+            d['sobol_num_generated'] = int(self._qrng.num_generated)
+        return d
+
+    @classmethod
+    def from_state(cls, d: dict) -> 'FieldGenerator':
+        """Rebuild a generator at the exact stream position captured by
+        :meth:`state_dict` (bit-exact continuation)."""
+        gen = cls(d['kind'], int(d['N']), d['seed'])
+        if d['kind'] == 'uniform':
+            p = d['pcg64']
+            gen._rng.bit_generator.state = {
+                'bit_generator': 'PCG64',
+                'state': {'state': int(p['state']), 'inc': int(p['inc'])},
+                'has_uint32': int(p['has_uint32']),
+                'uinteger': int(p['uinteger'])}
+        elif d['kind'] == 'sobol':
+            n = int(d['sobol_num_generated'])
+            if n:
+                gen._qrng.fast_forward(n)
+        return gen
+
     def initial_field(self, XXX: float) -> np.ndarray:
         """U0 from mean concentration XXX and 1% relative deviations
         (``chsimpy/solver.py:66-82``)."""

@@ -88,12 +88,29 @@ def render_solution_png(params: Parameters, solution, fname: str) -> None:
         pass
 
 
+# run-control fields the command line keeps when --restore loads the
+# physics parameters from the checkpoint
+_RESTORE_CLI_FIELDS = ('ntmax', 'time_max', 'update_every', 'no_gui', 'png',
+                       'png_anim', 'yaml', 'export_csv', 'compress_csv',
+                       'file_id', 'no_diagrams', 'checkpoint_file',
+                       'checkpoint_every', 'restore_file')
+
+
 class Simulator:
     def __init__(self, params: Parameters = None, U_init=None):
         self.params = params if params is not None else Parameters()
-        if U_init is None and self.params.Uinit_file is not None:
-            U_init = csvio.csv_import_matrix(self.params.Uinit_file)
-        self.solver = Solver(self.params, U_init)
+        if self.params.restore_file is not None:
+            from .checkpoint import restore_solver
+            solver = restore_solver(self.params.restore_file)
+            # checkpoint's physics params win; run control from the CLI
+            for name in _RESTORE_CLI_FIELDS:
+                setattr(solver.params, name, getattr(self.params, name))
+            self.params = solver.params
+            self.solver = solver
+        else:
+            if U_init is None and self.params.Uinit_file is not None:
+                U_init = csvio.csv_import_matrix(self.params.Uinit_file)
+            self.solver = Solver(self.params, U_init)
         self.steps_total = 0
         self.solution_file_id = None
         self.view = self._make_view()
@@ -111,11 +128,18 @@ class Simulator:
     def solve(self):
         self.solution_file_id = sysinfo.get_or_create_file_id(
             self.params.file_id)
-        if self.steps_total == 0:
+        if self.steps_total == 0 and not self.solver._prepared:
+            # a solver restored from a checkpoint is already prepared —
+            # prepare() would reset the trajectory
             self.solver.prepare()
         if self.params.update_every is None:
-            return self.solver.solve_or_resume(self.params.ntmax)
-        return self._live_solve()
+            sol = self.solver.solve_or_resume(self.params.ntmax)
+        else:
+            sol = self._live_solve()
+        if self.params.checkpoint_file is not None:
+            from .checkpoint import save_checkpoint
+            save_checkpoint(self.params.checkpoint_file, self.solver)
+        return sol
 
     def _live_solve(self):
         """Chunked solve with a view refresh (and optional PNG frame)
