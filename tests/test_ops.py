@@ -66,3 +66,54 @@ def test_gradient_matches_numpy(N):
     rx, ry = np.gradient(U, delx, axis=[0, 1], edge_order=1)
     assert np.array_equal(np.asarray(gx), rx)
     assert np.array_equal(np.asarray(gy), ry)
+
+
+@pytest.mark.parametrize('route', ['matmul', 'split'])
+def test_adaptive_rebuild_matches_oracle_at_golden_delts(route):
+    """The ON-DEVICE CHeig/Seig rebuild (the adaptive-time path runs it
+    every step, core/stepper.py _step) must reproduce the independent
+    numpy oracle at every delt value the chaotic adaptive golden actually
+    visited — in both the natural (matmul-route) and permuted
+    (split-route) spectral bases.  This pins the rebuild arithmetic
+    directly, independent of trajectory chaos (the 600-step adaptive
+    trace itself diverges from ~step 500, so its tolerance is loose)."""
+    import json
+    import os
+
+    import jax
+
+    from oracle import coeff_grids
+    from chsimpy_tpu.core import stepper as stepper_mod
+    from chsimpy_tpu.ops import dct as dct_ops
+
+    with open(os.path.join(os.path.dirname(__file__), 'golden',
+                           'n64_adaptive_600.json')) as f:
+        g = json.load(f)
+    delts = sorted(set(g['delt']))
+    assert len(delts) > 10  # the golden really adapted
+
+    import chsimpy_tpu as ct
+    p = ct.Parameters()
+    p.N = 64
+    p.no_gui = True
+    p.adaptive_time = True
+    p.transform_backend = route
+    p.kappa_tilde = 2.98911291966116e-4
+    from chsimpy_tpu.core.solver import Solver
+    s = Solver(p)
+    s.prepare()
+    cfg, consts = s.cfg, s._consts
+
+    from chsimpy_tpu.ops import coeffs as coeffs_ops
+    rebuild = jax.jit(lambda d: coeffs_ops.get_coefficients(
+        consts['leig'], consts['kappa_tilde'], d, cfg.delx2))
+
+    for delt in delts:
+        CH_d, S_d = rebuild(jnp.asarray(delt, jnp.float64))
+        CH_o, S_o = coeff_grids(64, p.kappa_tilde, delt, cfg.delx2)
+        if route == 'split':
+            lv = cfg.split_levels_resolved
+            CH_o = dct_ops.split_permute_grid(CH_o, 64, lv)
+            S_o = dct_ops.split_permute_grid(S_o, 64, lv)
+        np.testing.assert_allclose(np.asarray(CH_d), CH_o, rtol=1e-14)
+        np.testing.assert_allclose(np.asarray(S_d), S_o, rtol=1e-14)
