@@ -193,17 +193,31 @@ def _nonlinear_term(cfg: StepConfig, consts, U, mesh=None):
             - 2.0 * A1 * U * Uinv)
 
 
+def _sum2_f64(x):
+    """Two-stage reduction with an f64 outer accumulation: the inner f32
+    row sums keep the HBM pass single-precision (free on the VPU), while
+    the N-element outer sum runs in f64 — ~100x less rounding error than
+    a flat f32 reduce for the cost of N (not N^2) emulated-f64 adds.
+    The early-stop comparison E2[it-1] > E2[it] (timedata.py:51-63) flips
+    on ~1e-7-relative noise near the stop step, so the f32 fast path
+    needs this to reproduce the reference's exact stop step."""
+    if x.ndim == 2:
+        return jnp.sum(jnp.sum(x, axis=1).astype(jnp.float64))
+    return jnp.sum(x.astype(jnp.float64))
+
+
 def _grad_sq_sum(U, delx):
     """sum over the field of dux^2 + duy^2 (np.gradient edge_order=1
     semantics) WITHOUT materializing the gradient arrays: the central and
     one-sided contributions reduce slice-wise, so XLA fuses everything
     into shifted-load reduction loops instead of the concat+square+mean
-    chain (measured 2-3x fewer HBM passes at N=4096)."""
+    chain (measured 2-3x fewer HBM passes at N=4096).  Returns f64 (see
+    _sum2_f64: the result drives the early-stop comparison)."""
     h = delx
     h2 = 2.0 * delx
 
     def sq_sum(x):
-        return jnp.sum(x * x)
+        return _sum2_f64(x * x)
 
     rows = (sq_sum((U[2:, :] - U[:-2, :]) / h2)
             + sq_sum((U[1, :] - U[0, :]) / h)
@@ -229,11 +243,13 @@ def _stats_fast(cfg: StepConfig, consts, U, EnergieEut):
     Uinv = 1.0 - U
     integrand = (cfg.RT * (U * (jnp.log(U) - cfg.B) + Uinv * jnp.log(Uinv))
                  + (A0 + A1 * (Uinv - U)) * U * Uinv)
-    s_int = jnp.sum(integrand).astype(jnp.float64)
-    s_du2 = _grad_sq_sum(U, cfg.delx).astype(jnp.float64)
+    # f64 outer accumulation (see _sum2_f64): stabilizes E/E2/L2 against
+    # flat-f32 reduce noise — in particular the early-stop comparison
+    s_int = _sum2_f64(integrand)
+    s_du2 = _grad_sq_sum(U, cfg.delx)
     s_u = jnp.sum(U).astype(jnp.float64)
     s_sa = jnp.sum((U < cfg.threshold).astype(dtype)).astype(jnp.float64)
-    s_e2 = jnp.sum(EnergieEut * EnergieEut).astype(jnp.float64)
+    s_e2 = _sum2_f64(EnergieEut * EnergieEut)
 
     E2 = 0.5 * cfg.Amr * kt * Lsq * (s_du2 / n2)
     E = cfg.Amr * Lsq * (s_int / n2) + E2
