@@ -1,17 +1,19 @@
 #!/usr/bin/env python
-"""Two-process ``jax.distributed`` exercise of the ensemble path.
+"""Multi-process ``jax.distributed`` exercise of the ensemble path.
 
-Launches TWO OS processes on localhost (coordinator + worker, 4 virtual
-CPU devices each), builds the global 8-device ('ens','x','y') = (2,2,2)
-mesh ACROSS the process boundary, runs the vmapped UQ ensemble sharded
-over it, and bit-compares the result against the same run on a
-single-process 8-device virtual mesh.  This proves the cross-process
-codepath (global array construction, ens-axis all-gather host reads,
-collective-bearing step program) end to end — the same machinery a real
-2-host TPU slice uses, with DCN standing in for the ICI.
+Launches ``--nproc`` OS processes on localhost (coordinator + workers,
+8/nproc virtual CPU devices each), builds the global 8-device
+('ens','x','y') = (2,2,2) mesh ACROSS the process boundaries, runs the
+vmapped UQ ensemble sharded over it, and bit-compares the result against
+the same run on a single-process 8-device virtual mesh.  This proves the
+cross-process codepath (global array construction, ens-axis all-gather
+host reads, collective-bearing step program) end to end — the same
+machinery a real multi-host TPU slice uses, with DCN standing in for the
+ICI.  nproc=4 exercises >2 processes: every process holds a strict
+minority of each array, so host reads cross two process boundaries.
 
 Usage:
-    python scripts/run_distributed_2proc.py [--out DISTRIBUTED.json]
+    python scripts/run_distributed_2proc.py [--nproc 2|4] [--out X.json]
 
 Exit 0 + a JSON artifact on bit-exact agreement.
 """
@@ -103,6 +105,8 @@ def single_process_reference(out_path):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--out', default=os.path.join(REPO, 'DISTRIBUTED.json'))
+    ap.add_argument('--nproc', type=int, default=2, choices=(2, 4),
+                    help='processes to split the 8-device mesh across')
     ap.add_argument('--worker', type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument('--coordinator', default=None, help=argparse.SUPPRESS)
     ap.add_argument('--result-file', default=None, help=argparse.SUPPRESS)
@@ -110,12 +114,13 @@ def main():
     args = ap.parse_args()
 
     if args.worker is not None:
-        worker(args.worker, 2, args.coordinator, args.result_file)
+        worker(args.worker, args.nproc, args.coordinator, args.result_file)
         return 0
     if args.single:
         single_process_reference(args.result_file)
         return 0
 
+    nproc = args.nproc
     tmp = tempfile.mkdtemp(prefix='chsimpy-dist-')
     dist_out = os.path.join(tmp, 'dist.json')
     single_out = os.path.join(tmp, 'single.json')
@@ -123,14 +128,16 @@ def main():
     coordinator = f"127.0.0.1:{port}"
 
     env = dict(os.environ)
-    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
+    env['XLA_FLAGS'] = (f'--xla_force_host_platform_device_count='
+                        f'{8 // nproc}')
     env['JAX_PLATFORMS'] = 'cpu'
     env['PYTHONPATH'] = REPO + os.pathsep + env.get('PYTHONPATH', '')
 
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), '--worker', str(i),
+         '--nproc', str(nproc),
          '--coordinator', coordinator, '--result-file', dist_out],
-        env=env, cwd=tmp) for i in range(2)]
+        env=env, cwd=tmp) for i in range(nproc)]
     rcs = [p.wait(timeout=600) for p in procs]
     if any(rcs):
         print(f"FAIL: worker exit codes {rcs}")
@@ -153,11 +160,11 @@ def main():
     exact = all(dist[k] == single[k]
                 for k in ('U_sums', 'steps', 'E_all', 'U0_rows'))
     artifact = {
-        'schema': 'chsimpy-tpu-distributed-2proc-v1',
+        'schema': 'chsimpy-tpu-distributed-nproc-v1',
         'config': CONFIG,
         'mesh': {'axes': ['ens', 'x', 'y'], 'shape': [2, 2, 2]},
-        'processes': 2,
-        'devices_per_process': 4,
+        'processes': nproc,
+        'devices_per_process': 8 // nproc,
         'bit_exact_vs_single_process': exact,
         'steps': dist['steps'],
         'U_sums': dist['U_sums'],

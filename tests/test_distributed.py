@@ -28,3 +28,23 @@ def test_two_process_ensemble_bit_matches_single(tmp_path):
         artifact = json.load(f)
     assert artifact['bit_exact_vs_single_process'] is True
     assert artifact['processes'] == 2
+
+
+def test_four_process_ensemble_bit_matches_single(tmp_path):
+    """4 processes x 2 devices: every process holds a strict minority of
+    each global array, so host reads cross multiple process boundaries
+    (the >2-host codepath a real pod uses)."""
+    out = tmp_path / 'dist4.json'
+    env = dict(os.environ)
+    env.pop('XLA_FLAGS', None)
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, 'scripts', 'run_distributed_2proc.py'),
+         '--nproc', '4', '--out', str(out)],
+        env=env, capture_output=True, text=True, timeout=570)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    with open(out) as f:
+        artifact = json.load(f)
+    assert artifact['bit_exact_vs_single_process'] is True
+    assert artifact['processes'] == 4
+    assert artifact['devices_per_process'] == 2
