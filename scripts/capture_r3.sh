@@ -1,0 +1,52 @@
+#!/usr/bin/env bash
+# Round-3 on-chip capture battery — fire THE MOMENT the tunnel is healthy
+# (single TPU process at a time — CLAUDE.md rule 1).
+#
+# Round 2's perf story exists only as builder-side notes because the
+# tunnel died before the driver's capture; this battery re-establishes
+# every claim as a logged artifact, cheapest-first so a mid-battery drop
+# keeps the most valuable results:
+#   1. official bench.py metric (the round artifact)
+#   2. on-chip golden replay (f64 contract on the chip)
+#   3. f32 canonical stop-step (the _sum2_f64 stabilization: expect 1674)
+#   4. f64 canonical N=512 validation run
+#   5. fused-ozaki decision battery (scripts/measure_fused_r29.sh)
+#   6. f32 transform headroom baseline (dct_bench)
+set -u
+set -o pipefail
+cd "$(dirname "$0")/.."
+LOG=${1:-capture_r3.log}
+echo "== r3 capture battery $(date -u +%FT%TZ) ==" | tee -a "$LOG"
+
+run() {
+    echo "--- $* ---" | tee -a "$LOG"
+    timeout "${T:-1800}" "$@" 2>&1 | tee -a "$LOG"
+    echo "exit=${PIPESTATUS[0]}" | tee -a "$LOG"
+}
+
+# 1. the official driver metric
+T=3600 run python bench.py
+
+# 2. f64 contract on the chip (auto transform = ozaki on TPU f64)
+run python scripts/tpu_golden_replay.py
+
+# 3. f32 stop-step stabilization: the canonical default run in fast mode
+#    must now stop at step 1674 like the reference (was 1669-1673 before
+#    the f64-outer-accumulation change, PERFORMANCE.md accuracy table).
+#    (--no-gui without --png drops the view, so update_every is off.)
+run python -m chsimpy_tpu -N 512 -n 5000 --no-gui \
+    --precision float32 -f r3f32stop
+
+# 4. canonical f64 N=512 on-chip validation run (stop step + E contract)
+run python -m chsimpy_tpu -N 512 -n 5000 --no-gui \
+    --precision float64 -f r3f64stop
+
+# 5. fused-ozaki ship-or-kill battery
+run bash scripts/measure_fused_r29.sh "$LOG.fused"
+
+# 6. f32 transform headroom baseline for the round-3 tuning attempts
+#    (substring filter: all split-perm variants + the plain matmul anchor)
+run python -m chsimpy_tpu.benchmarks.dct_bench \
+    --sizes 2048,4096 --dtypes float32 --routes perm,matmul --reps 4
+
+echo "== r3 battery done $(date -u +%FT%TZ) ==" | tee -a "$LOG"
