@@ -86,6 +86,21 @@ def _roundtrip_fns(N, dtype):
                                         precision=jax.lax.Precision.HIGH),
                 tree, precision=jax.lax.Precision.HIGH)
         fns[f'split{lv}perm-high'] = chain(body_perm, tree_p)
+    # folded-field variant: the level-1 reversal pair around the
+    # elementwise region eliminated by keeping the field level-1 folded
+    # between inverse and forward (see ops/dct.py fold1) — the round-3
+    # headroom candidate; measures the in-loop cost exactly because the
+    # chained roundtrips stay in the folded layout throughout
+    for lv in (2, 4):
+        tree_f = dct_ops.split_tree(N, lv, dtype)
+
+        def body_fold(x, C, tree):
+            prec = jax.lax.Precision.HIGH
+            return dct_ops.idct2_split_perm_folded(
+                dct_ops.dct2_split_perm_folded(x, tree, precision=prec),
+                tree, precision=prec)
+        fns[f'split{lv}permfold-high'] = chain(body_fold, tree_f)
+
     tree2 = dct_ops.split_tree(N, 2, dtype)
 
     # the pre-round-2.5 form of the permuted route: second 1-D pass via

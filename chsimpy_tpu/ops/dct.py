@@ -318,6 +318,67 @@ def idct2_split_perm(X, tree, precision=jax.lax.Precision.HIGHEST,
     return _apply_split_t_perm_right(tree, constrain(U), precision)
 
 
+# --- level-1 field-fold variants: the hot loop's only consumers of U are
+# ELEMENTWISE (nonlinear term, jitter, permutation-invariant stats), so
+# the spatial layout of U between an inverse and the next forward is
+# free.  Keeping U level-1 folded — bottom rows and right columns stored
+# pre-reversed — turns the inverse's final unfold reversal and the next
+# forward's first fold reversal into plain concatenates: the four
+# full-field level-1 reversal relayouts per step disappear (the
+# PERFORMANCE.md "reversal pair around the nonlinear term" headroom,
+# ~0.3 ms/rt estimated at N=4096).  fold1/unfold1 are involutions applied
+# once at solve-entry/read-back boundaries; deeper fold levels keep their
+# reversals (they act on half-size intermediates inside the transform).
+
+
+def fold1(x: jnp.ndarray) -> jnp.ndarray:
+    """Natural <-> level-1-folded spatial layout (involution): bottom
+    half rows reversed, then right half columns reversed."""
+    n, m = x.shape[0], x.shape[1]
+    x = jnp.concatenate([x[:n // 2], x[n // 2:][::-1]], axis=0)
+    return jnp.concatenate([x[..., :m // 2], x[..., m // 2:][..., ::-1]],
+                           axis=-1)
+
+
+unfold1 = fold1
+
+
+def dct2_split_perm_folded(V, tree, precision=jax.lax.Precision.HIGHEST,
+                           constrain=lambda x: x):
+    """2-D DCT-II (permuted spectral basis) of a level-1-FOLDED field.
+    Bit-identical to ``dct2_split_perm(unfold1(V))`` — the level-1 fold
+    reads the pre-reversed halves directly instead of reversing."""
+    if not isinstance(tree, tuple):
+        raise ValueError("folded split variants need levels >= 1")
+    n = V.shape[0]
+    top, bot = V[:n // 2], V[n // 2:]
+    even = _apply_split_perm(tree[0], top + bot, precision)
+    odd = jnp.matmul(tree[1], top - bot, precision=precision)
+    X = constrain(jnp.concatenate([even, odd], axis=0))
+    m = X.shape[-1]
+    left, right = X[..., :m // 2], X[..., m // 2:]
+    even = _apply_split_perm_right(tree[0], left + right, precision)
+    odd = _mm_nt(left - right, tree[1], precision)
+    return jnp.concatenate([even, odd], axis=-1)
+
+
+def idct2_split_perm_folded(X, tree, precision=jax.lax.Precision.HIGHEST,
+                            constrain=lambda x: x):
+    """Inverse of :func:`dct2_split_perm_folded`, emitting the
+    level-1-FOLDED field (bit-identical to
+    ``fold1(idct2_split_perm(X))`` without the two reversals)."""
+    if not isinstance(tree, tuple):
+        raise ValueError("folded split variants need levels >= 1")
+    n2 = X.shape[0] // 2
+    u = _apply_split_t_perm(tree[0], X[:n2], precision)
+    v = jnp.matmul(tree[1].T, X[n2:], precision=precision)
+    U = constrain(jnp.concatenate([u + v, u - v], axis=0))
+    m2 = U.shape[-1] // 2
+    u = _apply_split_t_perm_right(tree[0], U[..., :m2], precision)
+    v = jnp.matmul(U[..., m2:], tree[1], precision=precision)
+    return jnp.concatenate([u + v, u - v], axis=-1)
+
+
 def idct2_split(X, tree, precision=jax.lax.Precision.HIGHEST,
                 constrain=lambda x: x):
     """Orthonormal 2-D DCT-III, exact structured transpose of

@@ -247,3 +247,34 @@ def test_split_route_adaptive_time():
     tb_ = run('split')
     np.testing.assert_allclose(ta[:, 1], tb_[:, 1], rtol=1e-10)   # E
     np.testing.assert_allclose(ta[:, 8], tb_[:, 8], rtol=1e-7)    # delt
+
+
+@pytest.mark.parametrize('N,levels', [(8, 1), (64, 2), (64, 4), (256, 3)])
+def test_folded_split_variants_bit_match(N, levels):
+    """The level-1 folded-field variants are bit-identical to the
+    permuted route composed with fold1/unfold1 — the fold is pure data
+    layout, every add/sub/matmul runs on the same values in the same
+    order (the round-3 reversal-elimination headroom candidate)."""
+    from chsimpy_tpu.ops.dct import (dct2_split_perm, idct2_split_perm,
+                                     dct2_split_perm_folded,
+                                     idct2_split_perm_folded,
+                                     fold1, unfold1, split_tree)
+    x = np.random.default_rng(7).random((N, N))
+    xj = jnp.asarray(x)
+    tree = split_tree(N, levels)
+
+    # fold1 is an involution
+    np.testing.assert_array_equal(np.asarray(unfold1(fold1(xj))), x)
+
+    X_nat = np.asarray(dct2_split_perm(xj, tree))
+    X_fold = np.asarray(dct2_split_perm_folded(fold1(xj), tree))
+    np.testing.assert_array_equal(X_fold, X_nat)
+
+    U_nat = np.asarray(idct2_split_perm(jnp.asarray(X_nat), tree))
+    U_fold = np.asarray(idct2_split_perm_folded(jnp.asarray(X_nat), tree))
+    np.testing.assert_array_equal(U_fold, np.asarray(fold1(jnp.asarray(U_nat))))
+    # roundtrip identity in the folded layout
+    np.testing.assert_allclose(
+        np.asarray(idct2_split_perm_folded(
+            jnp.asarray(X_fold), tree)),
+        np.asarray(fold1(xj)), rtol=0, atol=1e-12)
