@@ -50,7 +50,9 @@ def save_checkpoint(fname: str, solver) -> None:
     np.savez_compressed(
         fname,
         header=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
-        U=np.asarray(state.U, dtype=np.float64),
+        # natural layout on disk regardless of the in-state layout
+        # (fold_field keeps the device state level-1 folded)
+        U=np.asarray(solver._field_natural(state.U), dtype=np.float64),
         timedata=sol.timedata.data(),
         rng_key=np.asarray(state.rng_key),
         U_init=np.asarray(solver.U_init, dtype=np.float64),
@@ -116,7 +118,7 @@ def restore_solver(fname: str):
 
     rows = payload['timedata']
     state = solver._state.replace(
-        U=jnp.asarray(payload['U'], solver.cfg.jdtype),
+        U=solver._field_state(payload['U']),
         delt=jnp.asarray(h['delt'], jnp.float64),
         time_delta_sum=jnp.asarray(h['time_delta_sum'], jnp.float64),
         computed_steps=jnp.asarray(h['computed_steps'], jnp.int32),

@@ -97,6 +97,12 @@ FLAGS = [
          'kernels (pallas-fused: ozaki transform only — both int8 stages '
          'run as fused group-accumulation kernels)', param='kernel_backend',
          choices=['xla', 'pallas', 'pallas-fused'], default='xla'),
+    Flag(('--fold-field',), 'TPU',
+         'Keep the field in the level-1 folded layout between transforms '
+         '(split route, single device): drops 4 full-field reversal '
+         'relayouts per step; U trajectory bit-identical, stats regroup '
+         'their sums (ULP-order trace shift)', param='fold_field',
+         action='store_true'),
     Flag(('--transform',), 'TPU',
          '2-D DCT route: matmul (MXU, shards under --mesh), split '
          '(folded matmul, ~1.5x faster on one chip at N>=1024), fft '

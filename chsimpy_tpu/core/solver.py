@@ -162,6 +162,26 @@ class Solver:
         if params.time_max is not None and params.time_max > 0:
             time_limit = params.time_max * 60.0
 
+        fold_field = bool(getattr(params, 'fold_field', False))
+        if fold_field:
+            if params.mesh_shape is not None:
+                raise ValueError("--fold-field is single-device only "
+                                 "(the folded seam crosses shard halves)")
+            if resolve_transform(params) != 'split':
+                raise ValueError(
+                    "--fold-field needs the split transform route "
+                    "(the fold is a property of its level-1 layout)")
+            if params.kernel_backend != 'xla':
+                raise ValueError("--fold-field requires --kernels xla "
+                                 "(the Pallas stencils assume the natural "
+                                 "layout)")
+            if params.adaptive_time:
+                raise ValueError(
+                    "--fold-field with --adaptive is unsupported: the "
+                    "delt_dyn column-sum norm is not "
+                    "permutation-invariant, so the folded layout would "
+                    "shift delt by ULPs and fork the trajectory")
+
         d = self.derived
         self.cfg = StepConfig(
             N=N,
@@ -183,8 +203,11 @@ class Solver:
                 'high' if params.precision == 'float32' else 'highest'),
             # f64 on TPU: restructured stats keep the 1e-10 E contract
             # (verified by on-chip golden replay); CPU f64 keeps the
-            # reference summation order (bit-level validation path)
-            fast_stats=jax.default_backend() == 'tpu',
+            # reference summation order (bit-level validation path).
+            # fold_field requires the restructured reductions (only they
+            # have fold-aware slicing), so it forces fast_stats
+            fast_stats=(jax.default_backend() == 'tpu') or fold_field,
+            fold_field=fold_field,
         )
 
         # optional 2-D grid sharding over a device mesh
@@ -221,6 +244,9 @@ class Solver:
         # pathologically slowly on the TPU compile service.  The entry
         # recompute uses the same transform route as the in-loop step.
         self._dct2 = jax.jit(make_entry_dct2(self.cfg))
+        if self.cfg.fold_field:
+            from ..ops.dct import fold1
+            self._fold1_dev = jax.jit(fold1)  # involution: fold == unfold
         self._state: Optional[SolverState] = None
         # placeholder so the runner signature is stable in all modes
         self._null_jbuf = jnp.zeros((), self.cfg.jdtype)
@@ -244,8 +270,14 @@ class Solver:
         data.insert(it=0, delt=self.delt, E=E, E2=E2, SA=0, domtime=0,
                     Ra=Ra, L2=0, PS=PS)
 
+        U0_state = U0
+        if self.cfg.fold_field:
+            # row-0 stats above ran on the natural layout; the device
+            # state lives level-1 folded from here on (solution.U stays
+            # the natural view)
+            U0_state = self._fold1_dev(U0)
         self._state = state_mod.init_state(
-            U0=U0,
+            U0=U0_state,
             hat_U0=jnp.zeros_like(U0),  # rebuilt at solve entry
             delt=self.delt,
             E2_first=E2,
@@ -278,6 +310,21 @@ class Solver:
                 self.params.generator, self.params.N, self.params.seed)
         return self.generator
 
+    # --- field-layout helpers (identity unless cfg.fold_field) ---------
+    def _field_natural(self, U_dev):
+        """State-layout device field -> natural layout (the user view:
+        solution.U, checkpoints, exports)."""
+        if self.cfg.fold_field:
+            return self._fold1_dev(U_dev)
+        return U_dev
+
+    def _field_state(self, U_nat):
+        """Natural field -> state layout (checkpoint-restore path)."""
+        U = jnp.asarray(U_nat, self.cfg.jdtype)
+        if self.cfg.fold_field:
+            return self._fold1_dev(U)
+        return U
+
     def _draw_jitter_buf(self, k: int):
         if self._jitter_mode == 'stream':
             gen = self._ensure_generator()
@@ -285,11 +332,18 @@ class Solver:
                              dtype=np.float64)
             for i in range(k):
                 slabs[i] = gen.next_sample()
+            if self.cfg.fold_field:
+                # same slab values land on the same original cells
+                from ..ops.dct import fold1_np
+                slabs = fold1_np(slabs)
             return jnp.asarray(slabs, self.cfg.jdtype)
         if self._jitter_mode == 'static':
             if self._static_jbuf is None:
-                self._static_jbuf = jnp.asarray(
-                    self._ensure_generator().next_sample(), self.cfg.jdtype)
+                buf = np.asarray(self._ensure_generator().next_sample())
+                if self.cfg.fold_field:
+                    from ..ops.dct import fold1_np
+                    buf = fold1_np(buf)
+                self._static_jbuf = jnp.asarray(buf, self.cfg.jdtype)
             return self._static_jbuf
         return self._null_jbuf
 
@@ -331,7 +385,7 @@ class Solver:
                 # periodic resumable snapshot at the chunk boundary (the
                 # device while_loop is opaque mid-chunk)
                 self._state = state
-                self.solution.U = state.U
+                self.solution.U = self._field_natural(state.U)
                 from ..checkpoint import save_checkpoint
                 save_checkpoint(ckpt, self)
                 last_saved = self.solution.computed_steps
@@ -341,7 +395,7 @@ class Solver:
         # field transfer (67 MB at N=4096 — seconds over a tunnel) and most
         # callers (benchmarks, chunked drivers) never read it.  NumPy
         # consumers convert implicitly via __array__ on first use.
-        self.solution.U = state.U
+        self.solution.U = self._field_natural(state.U)
         return self.solution
 
     def _sync(self, state: SolverState) -> SolverState:

@@ -97,6 +97,12 @@ class StepConfig:
     # CPU f64 path is the bit-level validation contract and keeps the
     # reference-order _stats)
     fast_stats: bool = False
+    # level-1 folded field layout between inverse and forward transform
+    # (split route only): the four level-1 reversal relayouts per step
+    # disappear; U trajectory stays bit-identical (pure data layout),
+    # stats regroup their slice sums (ULP-order trace differences).
+    # Opt-in pending the on-chip measurement (dct_bench splitXpermfold)
+    fold_field: bool = False
 
     @property
     def split_levels_resolved(self) -> int:
@@ -228,11 +234,48 @@ def _grad_sq_sum(U, delx):
     return rows + cols
 
 
+def _grad_sq_sum_folded(V, delx):
+    """:func:`_grad_sq_sum` over a level-1-FOLDED field (ops/dct.py
+    fold1: V[i<n/2] = U[i], V[n/2+j] = U[n-1-j], same on columns).
+    Identical per-element gradient terms, regrouped into fold-aware
+    slices — top/bottom interiors, the two seam rows/cols that straddle
+    the fold, and the physical edges.  The regrouping shifts the sum by
+    reduction-order ULPs only (squares are sign-blind, so the reversed
+    half's negated differences are immaterial)."""
+    h = delx
+    h2 = 2.0 * delx
+
+    def sq(x):
+        return _sum2_f64(x * x)
+
+    n = V.shape[0]
+    half = n // 2
+    rows = (sq((V[2:half] - V[:half - 2]) / h2)       # U rows 1..n/2-2
+            + sq((V[n - 1] - V[half - 2]) / h2)       # U row n/2-1 (seam)
+            + sq((V[n - 2] - V[half - 1]) / h2)       # U row n/2   (seam)
+            + sq((V[half:-2] - V[half + 2:]) / h2)    # U rows n/2+1..n-2
+            + sq((V[1] - V[0]) / h)                   # U edge row 0
+            + sq((V[half] - V[half + 1]) / h))        # U edge row n-1
+    m = V.shape[1]
+    hc = m // 2
+    cols = (sq((V[:, 2:hc] - V[:, :hc - 2]) / h2)
+            + sq((V[:, m - 1] - V[:, hc - 2]) / h2)
+            + sq((V[:, m - 2] - V[:, hc - 1]) / h2)
+            + sq((V[:, hc:-2] - V[:, hc + 2:]) / h2)
+            + sq((V[:, 1] - V[:, 0]) / h)
+            + sq((V[:, hc] - V[:, hc + 1]) / h))
+    return rows + cols
+
+
 def _stats_fast(cfg: StepConfig, consts, U, EnergieEut):
     """Reduction-only statistics for the float32 fast path: every sum
     taken directly (no gradient/abs-deviation intermediates beyond what
     fuses); finalization in f64.  Summation order differs from _stats —
-    float64 validation mode keeps the original form."""
+    float64 validation mode keeps the original form.
+
+    Under ``cfg.fold_field`` U/EnergieEut arrive level-1 folded: every
+    whole-array reduction is permutation-invariant; the gradient sum and
+    the mid-row extraction use the fold-aware forms."""
     N = cfg.N
     dtype = U.dtype
     A0 = consts['A0'].astype(dtype)
@@ -246,7 +289,8 @@ def _stats_fast(cfg: StepConfig, consts, U, EnergieEut):
     # f64 outer accumulation (see _sum2_f64): stabilizes E/E2/L2 against
     # flat-f32 reduce noise — in particular the early-stop comparison
     s_int = _sum2_f64(integrand)
-    s_du2 = _grad_sq_sum(U, cfg.delx)
+    s_du2 = (_grad_sq_sum_folded(U, cfg.delx) if cfg.fold_field
+             else _grad_sq_sum(U, cfg.delx))
     s_u = jnp.sum(U).astype(jnp.float64)
     s_sa = jnp.sum((U < cfg.threshold).astype(dtype)).astype(jnp.float64)
     s_e2 = _sum2_f64(EnergieEut * EnergieEut)
@@ -257,7 +301,9 @@ def _stats_fast(cfg: StepConfig, consts, U, EnergieEut):
     L2 = jnp.sqrt(s_e2) / n2
     meanU = (s_u / n2).astype(dtype)
     PS = jnp.sum(jnp.abs(U - meanU)).astype(jnp.float64) / n2
-    mid = U[N // 2 + 1, :]
+    # original row N/2+1 sits at folded row N-2 (j = N/2-2); Ra is
+    # invariant to the column permutation within the row
+    mid = U[N - 2, :] if cfg.fold_field else U[N // 2 + 1, :]
     Ra = jnp.mean(jnp.abs(mid - jnp.mean(mid))).astype(jnp.float64)
     return E, E2, PS, L2, Ra, SA
 
@@ -389,13 +435,24 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
             # permuted spectral basis (see make_consts): transforms skip
             # the interleave relayout; Seig/CHeig are pre-permuted
             prec = cfg.mm_precision
-            hat_E = dct_ops.dct2_split_perm(EnergieEut, consts['tree'],
-                                            precision=prec,
-                                            constrain=constrain)
-            hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
-            U = dct_ops.idct2_split_perm(hat_U, consts['tree'],
-                                         precision=prec,
-                                         constrain=constrain)
+            if cfg.fold_field:
+                # U/EnergieEut live in the level-1 folded layout: the
+                # level-1 reversal relayouts vanish (see ops/dct.py)
+                hat_E = dct_ops.dct2_split_perm_folded(
+                    EnergieEut, consts['tree'], precision=prec,
+                    constrain=constrain)
+                hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
+                U = dct_ops.idct2_split_perm_folded(
+                    hat_U, consts['tree'], precision=prec,
+                    constrain=constrain)
+            else:
+                hat_E = dct_ops.dct2_split_perm(EnergieEut, consts['tree'],
+                                                precision=prec,
+                                                constrain=constrain)
+                hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
+                U = dct_ops.idct2_split_perm(hat_U, consts['tree'],
+                                             precision=prec,
+                                             constrain=constrain)
         elif cfg.transform_backend == 'fft':
             hat_E = dct_ops.dct2_fft(EnergieEut, constrain=constrain)
             hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
@@ -433,6 +490,10 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
         elif cfg.jitter_mode == 'device':
             rng_key, sub = jax.random.split(rng_key)
             r = jax.random.uniform(sub, (cfg.N, cfg.N), dtype)
+            if cfg.fold_field:
+                # match the natural-layout trajectory bit-for-bit: the
+                # same slab values land on the same original cells
+                r = dct_ops.fold1(r)
             U = U + cfg.jitter * (2.0 * r - 1.0)
         U = constrain(U)
 
@@ -551,6 +612,10 @@ def make_entry_dct2(cfg: StepConfig):
     accuracy is free here."""
     if cfg.transform_backend == 'split':
         # permuted basis — must match the in-loop step's spectral layout
+        if cfg.fold_field:
+            # entry U is device state, i.e. already level-1 folded
+            return lambda U, consts: dct_ops.dct2_split_perm_folded(
+                U, consts['tree'])
         return lambda U, consts: dct_ops.dct2_split_perm(U, consts['tree'])
     if cfg.transform_backend == 'fft':
         return lambda U, consts: dct_ops.dct2_fft(U)

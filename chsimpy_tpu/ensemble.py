@@ -86,6 +86,9 @@ class EnsembleSolver:
                      and 0.0 < params.jitter < 0.1)
         if jitter_on and params.generator == 'lcg':
             raise ValueError("jitter requires a sample stream; 'lcg' has none")
+        if getattr(params, 'fold_field', False):
+            raise ValueError("--fold-field is single-run only (the vmapped "
+                             "ensemble keeps the natural layout)")
         if jitter_on:
             jitter_mode = ('static' if params.generator == 'simplex'
                            else 'stream')

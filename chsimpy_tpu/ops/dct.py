@@ -343,6 +343,17 @@ def fold1(x: jnp.ndarray) -> jnp.ndarray:
 unfold1 = fold1
 
 
+def fold1_np(a: np.ndarray) -> np.ndarray:
+    """Host-side :func:`fold1` over the LAST TWO axes (jitter slab
+    batches fold once per chunk on the host instead of per step on
+    device)."""
+    n, m = a.shape[-2], a.shape[-1]
+    a = np.concatenate([a[..., :n // 2, :], a[..., n // 2:, :][..., ::-1, :]],
+                       axis=-2)
+    return np.concatenate([a[..., :m // 2], a[..., m // 2:][..., ::-1]],
+                          axis=-1)
+
+
 def dct2_split_perm_folded(V, tree, precision=jax.lax.Precision.HIGHEST,
                            constrain=lambda x: x):
     """2-D DCT-II (permuted spectral basis) of a level-1-FOLDED field.

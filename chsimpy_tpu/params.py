@@ -78,6 +78,10 @@ class Parameters:
     chunk_size: int = 1024            # device steps per host round-trip
     mesh_shape: Optional[tuple] = None  # e.g. (2, 4) for a 2-D ('x','y') grid mesh
     jitter_backend: str = 'host'      # host (bit-exact RNG) | device (threefry)
+    fold_field: bool = False          # level-1 folded field layout (split
+                                      # route, single device): drops the 4
+                                      # level-1 reversal relayouts per step;
+                                      # U trajectory bit-identical
     kernel_backend: str = 'xla'       # xla | pallas | pallas-fused
                                       # (pallas-fused: fused ozaki stage
                                       # kernels, float64 measurement mode)

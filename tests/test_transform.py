@@ -278,3 +278,115 @@ def test_folded_split_variants_bit_match(N, levels):
         np.asarray(idct2_split_perm_folded(
             jnp.asarray(X_fold), tree)),
         np.asarray(fold1(xj)), rtol=0, atol=1e-12)
+
+
+def test_fold_field_solver_bit_matches_natural():
+    """--fold-field changes only the data layout between transforms: the
+    U trajectory must be BIT-identical to the natural split run (stats
+    never feed the field update), the trace equal to reduction-order
+    ULPs, and solution.U/checkpoints must present the natural view."""
+    import chsimpy_tpu as ct
+    from chsimpy_tpu.core.solver import Solver
+
+    def params(fold):
+        p = ct.Parameters()
+        p.N = 64
+        p.ntmax = 40
+        p.no_gui = True
+        p.update_every = None
+        p.full_sim = True
+        p.generator = 'uniform'
+        p.jitter = 0.01  # stream jitter: the slab fold must land the
+        p.seed = 2023    # same values on the same original cells
+        p.transform_backend = 'split'
+        p.kappa_tilde = 2.98911291966116e-4
+        p.fold_field = fold
+        return p
+
+    nat = Solver(params(False))
+    nat.prepare()
+    nat.solve_or_resume(40)
+    fol = Solver(params(True))
+    fol.prepare()
+    fol.solve_or_resume(40)
+
+    assert fol.solution.computed_steps == nat.solution.computed_steps
+    # field trajectory: bit-identical (pure layout change)
+    np.testing.assert_array_equal(np.asarray(fol.solution.U),
+                                  np.asarray(nat.solution.U))
+    # trace: the folded stats regroup slice sums (and the natural CPU-f64
+    # run uses the reference-order _stats), so ULP-order shifts only
+    np.testing.assert_allclose(fol.solution.timedata.data(),
+                               nat.solution.timedata.data(),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_fold_field_checkpoint_roundtrip(tmp_path):
+    """Checkpoints from a folded run hold the NATURAL field on disk and
+    resume bit-exactly (fold applied on restore)."""
+    import chsimpy_tpu as ct
+    from chsimpy_tpu.checkpoint import (load_checkpoint, restore_solver,
+                                        save_checkpoint)
+    from chsimpy_tpu.core.solver import Solver
+
+    def params():
+        p = ct.Parameters()
+        p.N = 32
+        p.ntmax = 40
+        p.no_gui = True
+        p.update_every = None
+        p.full_sim = True
+        p.generator = 'lcg'
+        p.transform_backend = 'split'
+        p.kappa_tilde = 2.98911291966116e-4
+        p.fold_field = True
+        return p
+
+    ref = Solver(params())
+    ref.prepare()
+    ref.solve_or_resume(20)
+    ref.solve_or_resume(20)
+
+    s = Solver(params())
+    s.prepare()
+    s.solve_or_resume(20)
+    f = str(tmp_path / 'fold.ckpt.npz')
+    save_checkpoint(f, s)
+
+    # on-disk U is the natural view (matches the natural-mode solver)
+    _, payload = load_checkpoint(f)
+    np.testing.assert_array_equal(payload['U'], np.asarray(s.solution.U))
+
+    s2 = restore_solver(f)
+    assert s2.cfg.fold_field
+    s2.solve_or_resume(20)
+    np.testing.assert_array_equal(np.asarray(s2.solution.U),
+                                  np.asarray(ref.solution.U))
+    np.testing.assert_array_equal(s2.solution.timedata.data(),
+                                  ref.solution.timedata.data())
+
+
+def test_fold_field_guards():
+    """fold_field composes only with split/xla/single-device/fixed-dt."""
+    import chsimpy_tpu as ct
+    from chsimpy_tpu.core.solver import Solver
+
+    def params(**kw):
+        p = ct.Parameters()
+        p.N = 64
+        p.no_gui = True
+        p.transform_backend = 'split'
+        p.kappa_tilde = 2.98911291966116e-4
+        p.fold_field = True
+        for k, v in kw.items():
+            setattr(p, k, v)
+        return p
+
+    with pytest.raises(ValueError, match='split'):
+        Solver(params(transform_backend='matmul'))
+    with pytest.raises(ValueError, match='single-device'):
+        Solver(params(mesh_shape=(2, 4)))
+    with pytest.raises(ValueError, match='kernels xla'):
+        Solver(params(kernel_backend='pallas'))
+    with pytest.raises(ValueError, match='adaptive'):
+        Solver(params(adaptive_time=True))
