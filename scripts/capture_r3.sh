@@ -44,9 +44,16 @@ run python -m chsimpy_tpu -N 512 -n 5000 --no-gui \
 # 5. fused-ozaki ship-or-kill battery
 run bash scripts/measure_fused_r29.sh "$LOG.fused"
 
-# 6. f32 transform headroom baseline for the round-3 tuning attempts
-#    (substring filter: all split-perm variants + the plain matmul anchor)
+# 6. f32 transform headroom: fold routes vs the production perm routes
+#    (substring filter: all split-perm/fold variants + the matmul anchor)
 run python -m chsimpy_tpu.benchmarks.dct_bench \
-    --sizes 2048,4096 --dtypes float32 --routes perm,matmul --reps 4
+    --sizes 2048,4096 --dtypes float32 --routes perm,fold,matmul --reps 4
+
+# 7. end-to-end --fold-field decision run at N=4096 f32 (vs the default)
+for F in "" "--fold-field"; do
+    run python -m chsimpy_tpu.benchmarks.bench -N 4096 -n 256 -R 2 -w 1 \
+        --warmup-ntmax 64 --no-gui --precision float32 $F \
+        -K 2.98911291966116e-4
+done
 
 echo "== r3 battery done $(date -u +%FT%TZ) ==" | tee -a "$LOG"
