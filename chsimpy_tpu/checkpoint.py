@@ -141,11 +141,14 @@ _ENS_LEAVES = ('delt', 'time_delta_sum', 'computed_steps', 'skip_check',
                'stop_reason', 'tau0', 't0', 'E2_first', 'E2_prev')
 
 
-def save_ensemble_checkpoint(fname: str, ens) -> None:
+def save_ensemble_checkpoint(fname: str, ens, extra_header: dict = None
+                             ) -> None:
     """Serialize an EnsembleSolver's resumable state: every member's
     field + counters + trace, the (A0, A1) pairs, and the shared host
     generator stream position.  Resume continues each member's exact
-    trajectory (hat_U is recomputed from U at every solve entry)."""
+    trajectory (hat_U is recomputed from U at every solve entry).
+    ``extra_header`` lets a driver (the UQ experiment) stash its own
+    JSON-serializable progress next to the state."""
     states = ens._states
     leaves = ens._host_leaves(states.U, states.rng_key,
                               *[getattr(states, n) for n in _ENS_LEAVES])
@@ -159,6 +162,7 @@ def save_ensemble_checkpoint(fname: str, ens) -> None:
         'row_counts': [len(td) for td in ens.timedatas],
         'generator_state': (ens.generator.state_dict()
                             if ens.generator is not None else None),
+        'extra': extra_header,
     }
     np.savez_compressed(
         fname,
@@ -223,4 +227,5 @@ def restore_ensemble(fname: str, mesh=None):
     states = ens._states.replace(**repl)
     ens._states = ens._shard(states)
     ens._stop = np.asarray(z['m_stop_reason'], np.int64)
+    ens._ckpt_extra = header.get('extra')  # driver progress (experiment)
     return ens

@@ -259,11 +259,18 @@ class EnsembleSolver:
             return self._static_jbuf
         return self._null_jbuf
 
-    def solve_or_resume(self, nsteps: Optional[int] = None, on_chunk=None):
+    def solve_or_resume(self, nsteps: Optional[int] = None, on_chunk=None,
+                        preserve_stops: bool = False):
         """Run up to ``nsteps`` (reference entry semantics).  ``on_chunk``,
         if given, is called as ``on_chunk(self, states)`` after every device
         chunk syncs — the hook behind the experiment driver's live view
-        (cap ``chunk_size`` to control the refresh cadence)."""
+        (cap ``chunk_size`` to control the refresh cadence).
+
+        ``preserve_stops=True`` keeps already-stopped members stopped
+        (the checkpoint-resume entry of the experiment driver: finishing
+        an interrupted batch must not re-enter members whose early stop
+        already fired).  Default False = reference re-entry parity
+        (a new solve continues every member)."""
         assert self._states is not None, "call prepare() first"
         if nsteps is None:
             nsteps = max(self.params.ntmax, 0)
@@ -288,11 +295,14 @@ class EnsembleSolver:
         # transform route as the in-loop step
         states = states.replace(
             hat_U=self._entry_dct2(states.U, self._consts))
-        if n_iters > 0:
+        if n_iters > 0 and not preserve_stops:
             # reference parity: re-entry after a stop continues each member
             states = states.replace(
                 stop_reason=jnp.zeros_like(states.stop_reason))
             self._stop = np.zeros(self.R, dtype=np.int64)
+        elif preserve_stops:
+            self._stop, = self._host_leaves(states.stop_reason)
+            self._stop = np.asarray(self._stop, dtype=np.int64)
 
         while n_iters > 0 and np.any(self._stop == STOP_NONE):
             k = min(n_iters, self.chunk_size)
@@ -301,6 +311,10 @@ class EnsembleSolver:
                                self._consts, jbuf)
             n_iters -= k
             states = self._sync(states)
+            # publish the fresh state BEFORE the hook: on_chunk consumers
+            # (live view, the experiment driver's periodic checkpoints)
+            # must see the solver as it is now, not one chunk stale
+            self._states = states
             if on_chunk is not None:
                 on_chunk(self, states)
         self._states = states

@@ -192,6 +192,36 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
     results = []
     file_id = init_params.file_id
 
+    # --- checkpoint/resume of the experiment itself (long UQ runs):
+    # periodic per-batch ensemble snapshots carry the experiment progress
+    # (completed-result rows + batch cursor) in the header, so --restore
+    # skips finished batches and finishes the interrupted one in place
+    # (already-stopped members stay stopped: preserve_stops)
+    ckpt_file = init_params.checkpoint_file
+    ckpt_every = init_params.checkpoint_every
+    resume_start = 0
+    resumed_ens = None
+    if init_params.restore_file:
+        from .checkpoint import restore_ensemble
+        resumed_ens = restore_ensemble(init_params.restore_file, mesh=mesh)
+        extra = getattr(resumed_ens, '_ckpt_extra', None) or {}
+        if extra.get('kind') != 'experiment':
+            raise ValueError(
+                f"{init_params.restore_file} is not an experiment "
+                "checkpoint (solver checkpoints resume via the "
+                "single-run CLI)")
+        if extra['nr_items'] != nr_items or extra['width'] != width:
+            raise ValueError(
+                "experiment restore needs the same run plan: the "
+                f"checkpoint has {extra['nr_items']} runs / width "
+                f"{extra['width']}, this command line gives "
+                f"{nr_items} / {width}")
+        results = [tuple(r) for r in extra['results']]
+        resume_start = int(extra['start'])
+
+    def _json_rows(rows):
+        return [[None if v is None else float(v) for v in r] for r in rows]
+
     view = None
     on_chunk = None
     if getattr(exp_params, 'live_view', False):
@@ -226,15 +256,52 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
             pass
     for start in range(0, nr_items, width):
         stop = min(start + width, nr_items)
-        batch_params = init_params.deepcopy()
-        ens = EnsembleSolver(batch_params, A_pairs[start:stop],
-                             U_init=U_init, mesh=mesh)
-        if view is not None:
-            # refresh the view about every --update-every steps
-            ens.chunk_size = max(1, min(ens.chunk_size,
-                                        init_params.update_every))
-        ens.prepare()
-        sols = ens.solve_or_resume(init_params.ntmax, on_chunk=on_chunk)
+        if start + width <= resume_start:
+            # batch finished before the checkpoint: rows recovered from
+            # the header, per-run files already on disk
+            if pbar is not None:
+                pbar.update(stop - start)
+            continue
+
+        hook = on_chunk
+        if ckpt_file and ckpt_every:
+            last_saved = [0]
+
+            def hook(ens_, states, _start=start, _prev=on_chunk,
+                     _last=last_saved):
+                if _prev is not None:
+                    _prev(ens_, states)
+                c = int(np.max(ens_._host_leaves(states.computed_steps)[0]))
+                if c - _last[0] >= ckpt_every:
+                    from .checkpoint import save_ensemble_checkpoint
+                    save_ensemble_checkpoint(
+                        ckpt_file, ens_, extra_header={
+                            'kind': 'experiment',
+                            'nr_items': nr_items, 'width': width,
+                            'start': _start,
+                            'results': _json_rows(results)})
+                    _last[0] = c
+
+        if start == resume_start and resumed_ens is not None:
+            # finish the interrupted batch in place
+            ens = resumed_ens
+            if view is not None:
+                ens.chunk_size = max(1, min(ens.chunk_size,
+                                            init_params.update_every))
+            c0 = int(np.max(ens._host_leaves(ens._states.computed_steps)[0]))
+            remaining = max(init_params.ntmax - c0, 0)
+            sols = ens.solve_or_resume(remaining, on_chunk=hook,
+                                       preserve_stops=True)
+        else:
+            batch_params = init_params.deepcopy()
+            ens = EnsembleSolver(batch_params, A_pairs[start:stop],
+                                 U_init=U_init, mesh=mesh)
+            if view is not None:
+                # refresh the view about every --update-every steps
+                ens.chunk_size = max(1, min(ens.chunk_size,
+                                            init_params.update_every))
+            ens.prepare()
+            sols = ens.solve_or_resume(init_params.ntmax, on_chunk=hook)
         for i, sol in enumerate(sols):
             run_id = start + i
             rp = init_params.deepcopy()

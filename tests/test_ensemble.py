@@ -274,3 +274,92 @@ def test_ensemble_ozaki_matches_single_runs():
     fsols = fused.solve_or_resume(10)
     for a, b in zip(sols, fsols):
         np.testing.assert_array_equal(np.asarray(a.U), np.asarray(b.U))
+
+
+def test_experiment_checkpoint_restore(tmp_path, monkeypatch):
+    """Experiment-level checkpoint/resume: an interrupted batch restores
+    from the periodic snapshot and finishes exactly like an in-memory
+    run that re-entered at the same boundary; completed-result rows and
+    the batch cursor ride in the checkpoint header."""
+    monkeypatch.chdir(tmp_path)
+    from chsimpy_tpu.checkpoint import save_ensemble_checkpoint
+    from chsimpy_tpu.experiment import postprocess_member
+
+    def params():
+        p = base_params(N=32, ntmax=30)
+        p.file_id = 'expck'
+        return p
+
+    ep = ExperimentParams()
+    ep.runs = 2
+    ep.A_seed = 85972
+
+    # the driver's A-pairs for this plan
+    rv = generate_A_factors(ep)
+    p0 = params()
+    A0b, A1b = p0.func_A0(p0.temp), p0.func_A1(p0.temp)
+    pairs = np.stack([rv[:, 0] * A0b, rv[:, 1] * A1b], axis=1)
+
+    # reference: in-memory run with the SAME entry boundary (resume ==
+    # re-entry, the reference-inherited semantic)
+    ref = EnsembleSolver(params(), pairs)
+    ref.prepare()
+    ref.solve_or_resume(15)
+    sols_ref = ref.solve_or_resume(15, preserve_stops=True)
+    rows_ref = [postprocess_member(params(), s, i, rv[i, 0], rv[i, 1])
+                for i, s in enumerate(sols_ref)]
+
+    # interrupted run: 15 steps, then the driver-format checkpoint
+    part = EnsembleSolver(params(), pairs)
+    part.prepare()
+    part.solve_or_resume(15)
+    f = str(tmp_path / 'exp.ckpt.npz')
+    save_ensemble_checkpoint(f, part, extra_header={
+        'kind': 'experiment', 'nr_items': 2, 'width': 2, 'start': 0,
+        'results': []})
+
+    # restore through the real driver path
+    p = params()
+    p.restore_file = f
+    results = run_experiment_batch(p, ep, progress=False)
+    assert len(results) == 2
+    for got, exp in zip(results, rows_ref):
+        for g, e in zip(got, exp):
+            if g is None or e is None:
+                assert g is None and e is None
+            else:
+                assert float(g) == float(e)
+    assert (tmp_path / 'expck-run0.solution.yaml').exists() is False  # no yaml flag
+    # run plan mismatch is rejected
+    p2 = params()
+    p2.restore_file = f
+    ep2 = ExperimentParams()
+    ep2.runs = 3
+    ep2.A_seed = 85972
+    with pytest.raises(ValueError, match='same run plan'):
+        run_experiment_batch(p2, ep2, progress=False)
+
+
+def test_experiment_periodic_checkpoint_written(tmp_path, monkeypatch):
+    """--checkpoint-file/--checkpoint-every on the experiment driver
+    writes driver-format snapshots at chunk boundaries."""
+    monkeypatch.chdir(tmp_path)
+    import numpy as _np
+    from chsimpy_tpu.checkpoint import restore_ensemble
+
+    p = base_params(N=32, ntmax=30)
+    p.file_id = 'expper'
+    p.chunk_size = 10
+    p.checkpoint_file = str(tmp_path / 'per.ckpt.npz')
+    p.checkpoint_every = 10
+    ep = ExperimentParams()
+    ep.runs = 2
+    ep.A_seed = 85972
+    run_experiment_batch(p, ep, progress=False)
+
+    ens = restore_ensemble(p.checkpoint_file)
+    extra = ens._ckpt_extra
+    assert extra['kind'] == 'experiment'
+    assert extra['nr_items'] == 2 and extra['start'] == 0
+    steps = _np.asarray(ens._host_leaves(ens._states.computed_steps)[0])
+    assert (steps > 1).all()
