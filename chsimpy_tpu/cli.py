@@ -239,6 +239,10 @@ class CLIParser:
         if params.compress_csv and params.export_csv is None:
             self.parser.error('--compress-csv has no effect '
                               '(no --export-csv given).')
+        if params.checkpoint_every is not None \
+                and params.checkpoint_file is None:
+            self.parser.error('--checkpoint-every has no effect '
+                              '(no --checkpoint-file given).')
 
         # YAML parameter file overrides CLI (reference order,
         # cli_parser.py:155-156)

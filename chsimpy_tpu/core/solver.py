@@ -125,6 +125,7 @@ class Solver:
         self.time_delta_sum = 0.0
         self.time_passed = 0.0
         self._prepared = False
+        self._ckpt_last_saved = None
         self.delt = params.delt
 
         # --- initial field (host-side, bit-exact generators) ---
@@ -298,6 +299,7 @@ class Solver:
         self.solution.t0 = 0.0
         self.solution.stop_reason = 'None'
         self.solution.computed_steps = 1
+        self._ckpt_last_saved = None
         self._prepared = True
 
     # ------------------------------------------------------------------
@@ -372,7 +374,11 @@ class Solver:
 
         every = self.params.checkpoint_every
         ckpt = self.params.checkpoint_file
-        last_saved = self.solution.computed_steps
+        # the save cadence must survive re-entry: the live-view driver
+        # calls solve_or_resume once per update_every slice, which is
+        # usually far smaller than checkpoint_every
+        if self._ckpt_last_saved is None:
+            self._ckpt_last_saved = self.solution.computed_steps
         while n_iters > 0 and self.solution.stop_reason == 'None':
             k = min(n_iters, self.chunk_size)
             jbuf = self._draw_jitter_buf(k)
@@ -381,14 +387,15 @@ class Solver:
             n_iters -= k
             state = self._sync(state)
             if (ckpt and every
-                    and self.solution.computed_steps - last_saved >= every):
+                    and self.solution.computed_steps
+                    - self._ckpt_last_saved >= every):
                 # periodic resumable snapshot at the chunk boundary (the
                 # device while_loop is opaque mid-chunk)
                 self._state = state
                 self.solution.U = self._field_natural(state.U)
                 from ..checkpoint import save_checkpoint
                 save_checkpoint(ckpt, self)
-                last_saved = self.solution.computed_steps
+                self._ckpt_last_saved = self.solution.computed_steps
 
         self._state = state
         # keep U as the device array: pulling it to the host costs a full

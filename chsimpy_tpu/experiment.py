@@ -135,6 +135,21 @@ def generate_A_factors(exp_params: ExperimentParams) -> np.ndarray:
     raise ValueError(f"not a generated source: {src}")
 
 
+def a_plan_digest(A_pairs, facs) -> str:
+    """Fingerprint of the experiment's A-plan — the realized (A0, A1)
+    pairs plus their factor rows.  Hashing the matrices (rather than the
+    generating flags) covers every input that shapes them: A-source,
+    A-seed, jitter_Arel bounds, --independent, temperature, and the
+    A0/A1 base fits.  Stored in experiment checkpoints so a resume with
+    a different plan cannot silently mix two UQ designs in one
+    results.csv."""
+    import hashlib
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(A_pairs, dtype=np.float64).tobytes())
+    h.update(np.ascontiguousarray(facs, dtype=np.float64).tobytes())
+    return h.hexdigest()
+
+
 def postprocess_member(params, sol: Solution, run_id, fac_A0, fac_A1):
     """Per-run sympy post-processing (``experiment.py:110-126``)."""
     cgap = material.get_miscibility_gap(params.R, params.temp, params.B,
@@ -185,6 +200,7 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
         facs = np.full_like(A_pairs, np.nan)
 
     nr_items = A_pairs.shape[0]
+    plan_digest = a_plan_digest(A_pairs, facs)
     width = exp_params.processes
     if width is None or width <= 0:
         width = nr_items
@@ -216,6 +232,13 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
                 f"checkpoint has {extra['nr_items']} runs / width "
                 f"{extra['width']}, this command line gives "
                 f"{nr_items} / {width}")
+        if extra.get('A_plan') != plan_digest:
+            raise ValueError(
+                "experiment restore needs the same A-plan: the "
+                "checkpoint's A0/A1 factor matrix differs from the one "
+                "this command line generates (check --A-source, "
+                "--A-seed, the jitter-Arel bounds, --independent, and "
+                "the temperature/A-fits)")
         results = [tuple(r) for r in extra['results']]
         resume_start = int(extra['start'])
 
@@ -278,7 +301,7 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
                         ckpt_file, ens_, extra_header={
                             'kind': 'experiment',
                             'nr_items': nr_items, 'width': width,
-                            'start': _start,
+                            'A_plan': plan_digest, 'start': _start,
                             'results': _json_rows(results)})
                     _last[0] = c
 

@@ -40,34 +40,33 @@ def _shape_bytes(shape_str: str) -> int:
 
 
 def collect_collectives(hlo_text: str) -> list:
-    """Parse an HLO dump into [{op, shape, bytes, line}] records."""
+    """Parse an HLO dump into [{op, shape, bytes, line}] records.
+
+    Async collectives lower to op-start/op-done pairs.  The -start's
+    printed shape is a tuple mixing operands, results, and context
+    scalars (layout varies by op), so the pair is counted at its -done,
+    whose printed shape IS the collective's result — the same convention
+    the sync forms use.  -start lines are skipped."""
     out = []
     for line in hlo_text.splitlines():
         s = line.strip()
-        m = re.match(r'.*?=\s*(\S+)\s+([a-z\-]+)\(', s)
+        # the shape may be a single token (f32[512,512]{1,0}) or a
+        # tuple with spaces ((f32[...], f32[...]) all-gather-start(...))
+        m = re.match(r'.*?=\s*(\([^)]*\)|\S+)\s+([a-z][a-z\-]*)\(', s)
         if not m:
             continue
         shape_str, op = m.groups()
-        # async collectives lower to op-start/op-done pairs; count the
-        # -start (it carries the transfer) and drop the -done so the same
-        # collective isn't counted twice
-        if op.endswith('-done'):
+        if op.endswith('-start'):
             continue
-        is_start = op.endswith('-start')
-        op = re.sub(r'-start$', '', op)
+        is_done = op.endswith('-done')
+        op = re.sub(r'-done$', '', op)
         if op not in _COLLECTIVES:
             continue
         parts = [_shape_bytes(p)
                  for p in re.findall(r'\w+\[[\d,]*\]', shape_str)]
-        if is_start:
-            # -start shapes are (operand, result) tuples; the transfer is
-            # the result, i.e. the largest element — summing would count
-            # the same collective's bytes twice
-            nbytes = max(parts, default=0)
-        else:
-            nbytes = sum(parts) or _shape_bytes(shape_str)
+        nbytes = sum(parts) or _shape_bytes(shape_str)
         out.append({'op': op, 'shape': shape_str, 'bytes': nbytes,
-                    'line': s[:160]})
+                    'async': is_done, 'line': s[:160]})
     return out
 
 

@@ -335,3 +335,24 @@ def test_checkpoint_every_saves_periodically(tmp_path):
     # an intermediate step count <= 30)
     s2 = restore_solver(f)
     assert 0 < s2.solution.computed_steps <= 30
+
+
+def test_checkpoint_every_fires_across_reentries(tmp_path):
+    """The live-view driver calls solve_or_resume once per update_every
+    slice (simulator chunk loop).  The save cadence must persist across
+    those entries: with slices smaller than checkpoint_every, snapshots
+    still fire once enough steps accumulate (regression: last_saved was
+    reset at every entry, so periodic saves never fired in live mode)."""
+    f = str(tmp_path / 'reentrant.ckpt.npz')
+    p = params(N=16, ntmax=40, generator='uniform')
+    p.chunk_size = 5
+    p.checkpoint_file = f
+    p.checkpoint_every = 12
+    s = ct.Solver(p)
+    s.prepare()
+    # live-view style: many small re-entries, each below checkpoint_every
+    for _ in range(8):
+        s.solve_or_resume(5)
+    s2 = restore_solver(f)
+    # saves fired mid-run at accumulated-step boundaries, not only at end
+    assert 0 < s2.solution.computed_steps < 40

@@ -66,6 +66,7 @@ def test_tpu_flags():
     ['--export-csv', ''],
     ['-C'],                       # compress without export
     ['--mesh', 'foo'],
+    ['--checkpoint-every', '50'],  # requires --checkpoint-file
 ])
 def test_invalid_args_exit(argv):
     with pytest.raises(SystemExit):

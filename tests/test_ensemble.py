@@ -314,9 +314,10 @@ def test_experiment_checkpoint_restore(tmp_path, monkeypatch):
     part.prepare()
     part.solve_or_resume(15)
     f = str(tmp_path / 'exp.ckpt.npz')
+    from chsimpy_tpu.experiment import a_plan_digest
     save_ensemble_checkpoint(f, part, extra_header={
         'kind': 'experiment', 'nr_items': 2, 'width': 2, 'start': 0,
-        'results': []})
+        'A_plan': a_plan_digest(pairs, rv), 'results': []})
 
     # restore through the real driver path
     p = params()
@@ -338,6 +339,15 @@ def test_experiment_checkpoint_restore(tmp_path, monkeypatch):
     ep2.A_seed = 85972
     with pytest.raises(ValueError, match='same run plan'):
         run_experiment_batch(p2, ep2, progress=False)
+    # same run COUNT but a different A-plan (other A-seed) must be
+    # rejected too — otherwise the resume silently mixes two UQ designs
+    p3 = params()
+    p3.restore_file = f
+    ep3 = ExperimentParams()
+    ep3.runs = 2
+    ep3.A_seed = 12345
+    with pytest.raises(ValueError, match='same A-plan'):
+        run_experiment_batch(p3, ep3, progress=False)
 
 
 def test_experiment_periodic_checkpoint_written(tmp_path, monkeypatch):

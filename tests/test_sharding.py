@@ -66,6 +66,43 @@ def test_mesh_validation():
     assert best_grid_shape(7) == (1, 7)
 
 
+def test_collect_collectives_parses_sync_and_async_forms():
+    """The audit must count sync collectives, non-tuple async starts
+    (via their -done), and tuple-shaped async starts (where the -start's
+    printed shape mixes operands/results/context and is NOT parseable as
+    a single token) — each exactly once, at the collective's RESULT
+    bytes.  A parser miss here silently under-reports ICI traffic, which
+    is the condition the audit exists to detect."""
+    from chsimpy_tpu.parallel.audit import collect_collectives
+    hlo = '\n'.join([
+        # sync form: shape is the result
+        '%ar = f32[512,512]{1,0} all-reduce(%x), replica_groups={}',
+        # async pair, tuple-shaped start (operand, result): count once,
+        # at the done's result shape (2048x2048 f32 = 16 MB)
+        '%ag = (f32[512,2048]{1,0}, f32[2048,2048]{1,0}) '
+        'all-gather-start(%y), dimensions={0}',
+        '%agd = f32[2048,2048]{1,0} all-gather-done(%ag)',
+        # async reduce-scatter: result is operand/D — the done carries it
+        '%rs = (f32[2048,2048]{1,0}, f32[512,2048]{1,0}) '
+        'reduce-scatter-start(%z), dimensions={0}',
+        '%rsd = f32[512,2048]{1,0} reduce-scatter-done(%rs)',
+        # collective-permute start with trailing context scalars
+        '%cp = (f32[256,256]{1,0}, f32[256,256]{1,0}, u32[], u32[]) '
+        'collective-permute-start(%w)',
+        '%cpd = f32[256,256]{1,0} collective-permute-done(%cp)',
+        # non-collective ops must not be picked up
+        '%d = f32[512,512]{1,0} dot(%a, %b)',
+    ])
+    recs = collect_collectives(hlo)
+    by_op = {r['op']: r['bytes'] for r in recs}
+    assert len(recs) == 4, recs
+    assert by_op['all-reduce'] == 512 * 512 * 4
+    assert by_op['all-gather'] == 2048 * 2048 * 4
+    assert by_op['reduce-scatter'] == 512 * 2048 * 4, (
+        "reduce-scatter must be counted at its RESULT (operand/D) bytes")
+    assert by_op['collective-permute'] == 256 * 256 * 4
+
+
 def test_sharded_chunk_collective_audit():
     """The compiled sharded step must contract the DCT via partial-shard
     collectives: no single collective moves the full field, and the total
