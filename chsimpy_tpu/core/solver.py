@@ -176,12 +176,6 @@ class Solver:
                 raise ValueError("--fold-field requires --kernels xla "
                                  "(the Pallas stencils assume the natural "
                                  "layout)")
-            if params.adaptive_time:
-                raise ValueError(
-                    "--fold-field with --adaptive is unsupported: the "
-                    "delt_dyn column-sum norm is not "
-                    "permutation-invariant, so the folded layout would "
-                    "shift delt by ULPs and fork the trajectory")
 
         d = self.derived
         self.cfg = StepConfig(

@@ -397,6 +397,21 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
         def adapted(delt):
             x = cfg.delt_max / jnp.sqrt(
                 1.0 + ADAPT_ALPHA * jnp.abs(EnergieEut) ** 2)
+            if cfg.fold_field:
+                # the folded layout permutes rows within every column and
+                # relabels columns.  min over columns is order-free, but
+                # each column SUM must run over the natural row order to
+                # keep delt (which feeds the field update) bit-identical
+                # to the natural run — un-reverse the bottom-half rows;
+                # columns can stay relabeled.
+                n = x.shape[0]
+                x = jnp.concatenate([x[:n // 2], x[n // 2:][::-1]], axis=0)
+            # materialize the operand so the column sums are emitted as a
+            # plain reduce in BOTH layouts: fused with the reverse above,
+            # XLA's reduce rounds differently for the same values
+            # (measured: 1-ULP delt forks between the folded and natural
+            # chunk programs), and delt feeds the field update
+            x = lax.optimization_barrier(x)
             # np.linalg.norm(..., ord=-1) on a matrix = min abs column sum
             delt_dyn = jnp.min(jnp.sum(x, axis=0)).astype(jnp.float64)
             delt_new = jnp.maximum(cfg.delt_base, delt_dyn)

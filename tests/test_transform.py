@@ -321,6 +321,45 @@ def test_fold_field_solver_bit_matches_natural():
                                rtol=1e-12, atol=1e-13)
 
 
+def test_fold_field_adaptive_bit_matches_natural():
+    """--fold-field composes with --adaptive: delt feeds the field
+    update, so the adaptive ord=-1 norm must be BIT-identical under the
+    folded layout.  The stepper un-reverses the bottom-half rows of the
+    norm operand (columns may stay relabeled — min over columns is
+    order-free), so every column sum runs over the natural row order.
+    Runs past step 500 so the adaptation actually fires."""
+    import chsimpy_tpu as ct
+    from chsimpy_tpu.core.solver import Solver
+
+    def run(fold):
+        p = ct.Parameters()
+        p.N = 32
+        p.ntmax = 560
+        p.no_gui = True
+        p.update_every = None
+        p.full_sim = True
+        p.adaptive_time = True
+        p.generator = 'lcg'
+        p.transform_backend = 'split'
+        p.kappa_tilde = 2.98911291966116e-4
+        p.fold_field = fold
+        s = Solver(p)
+        s.prepare()
+        s.solve_or_resume(560)
+        return s.solution
+
+    nat = run(False)
+    fol = run(True)
+    delt_nat = np.asarray(nat.timedata.data())[:, 8]
+    delt_fol = np.asarray(fol.timedata.data())[:, 8]
+    # the adaptation actually changed delt in this config (non-vacuous)
+    assert delt_nat.max() > delt_nat[0]
+    # delt trajectory: bit-identical (it feeds the field update)
+    np.testing.assert_array_equal(delt_fol, delt_nat)
+    # and so is the field
+    np.testing.assert_array_equal(np.asarray(fol.U), np.asarray(nat.U))
+
+
 def test_fold_field_checkpoint_roundtrip(tmp_path):
     """Checkpoints from a folded run hold the NATURAL field on disk and
     resume bit-exactly (fold applied on restore)."""
@@ -367,7 +406,8 @@ def test_fold_field_checkpoint_roundtrip(tmp_path):
 
 
 def test_fold_field_guards():
-    """fold_field composes only with split/xla/single-device/fixed-dt."""
+    """fold_field composes only with split/xla/single-device (adaptive
+    time IS supported — see test_fold_field_adaptive_bit_matches_natural)."""
     import chsimpy_tpu as ct
     from chsimpy_tpu.core.solver import Solver
 
@@ -388,5 +428,5 @@ def test_fold_field_guards():
         Solver(params(mesh_shape=(2, 4)))
     with pytest.raises(ValueError, match='kernels xla'):
         Solver(params(kernel_backend='pallas'))
-    with pytest.raises(ValueError, match='adaptive'):
-        Solver(params(adaptive_time=True))
+    # adaptive + fold is allowed
+    Solver(params(adaptive_time=True))
