@@ -153,6 +153,11 @@ def save_ensemble_checkpoint(fname: str, ens, extra_header: dict = None
     leaves = ens._host_leaves(states.U, states.rng_key,
                               *[getattr(states, n) for n in _ENS_LEAVES])
     U, rng_key = leaves[0], leaves[1]
+    if ens.cfg.fold_field:
+        # on-disk fields are always the natural layout (fold re-applied
+        # on restore), so fold is a pure runtime concern
+        from .ops.dct import fold1_np
+        U = fold1_np(np.asarray(U))
     per_member = dict(zip(_ENS_LEAVES, leaves[2:]))
     header = {
         'format_version': FORMAT_VERSION,
@@ -219,7 +224,12 @@ def restore_ensemble(fname: str, mesh=None):
         ens.timedatas.append(td)
 
     dtype = ens.cfg.jdtype
-    repl = {'U': jnp.asarray(z['U'], dtype),
+    U_in = np.asarray(z['U'])
+    if ens.cfg.fold_field:
+        # the checkpoint holds the natural layout; device state is folded
+        from .ops.dct import fold1_np
+        U_in = fold1_np(U_in)
+    repl = {'U': jnp.asarray(U_in, dtype),
             'rng_key': jnp.asarray(z['rng_key'])}
     for n in _ENS_LEAVES:
         ref_leaf = getattr(ens._states, n)

@@ -86,9 +86,25 @@ class EnsembleSolver:
                      and 0.0 < params.jitter < 0.1)
         if jitter_on and params.generator == 'lcg':
             raise ValueError("jitter requires a sample stream; 'lcg' has none")
-        if getattr(params, 'fold_field', False):
-            raise ValueError("--fold-field is single-run only (the vmapped "
-                             "ensemble keeps the natural layout)")
+        fold_field = bool(getattr(params, 'fold_field', False))
+        if fold_field:
+            # same composition rules as the single-run solver: the fold is
+            # a property of the split route's level-1 layout, and the seam
+            # must stay member-local (ens-axis sharding is fine; grid
+            # sharding of the member fields is not)
+            if solver_mod.resolve_transform(params) != 'split':
+                raise ValueError("--fold-field needs the split transform "
+                                 "route (the fold is a property of its "
+                                 "level-1 layout)")
+            if params.kernel_backend != 'xla':
+                raise ValueError("--fold-field requires --kernels xla "
+                                 "(the Pallas stencils assume the natural "
+                                 "layout)")
+            if mesh is not None and (
+                    mesh.shape.get('x', 1) * mesh.shape.get('y', 1) > 1):
+                raise ValueError("--fold-field needs member-local fields: "
+                                 "shard the ensemble over 'ens' only (the "
+                                 "folded seam crosses grid-shard halves)")
         if jitter_on:
             jitter_mode = ('static' if params.generator == 'simplex'
                            else 'stream')
@@ -120,8 +136,11 @@ class EnsembleSolver:
                 'high' if params.precision == 'float32' else 'highest'),
             # f64 on TPU: restructured stats keep the 1e-10 E contract
             # (verified by on-chip golden replay); CPU f64 keeps the
-            # reference summation order (bit-level validation path)
-            fast_stats=jax.default_backend() == 'tpu',
+            # reference summation order (bit-level validation path).
+            # fold_field requires the restructured reductions (only they
+            # have fold-aware slicing), so it forces fast_stats
+            fast_stats=(jax.default_backend() == 'tpu') or fold_field,
+            fold_field=fold_field,
         )
 
         self.chunk_size = max(1, int(params.chunk_size))
@@ -210,9 +229,18 @@ class EnsembleSolver:
         dtype = self.cfg.jdtype
         U0 = jnp.asarray(self.U_init, dtype)
         U0_b = jnp.broadcast_to(U0, (self.R,) + U0.shape)
+        # row-0 stats run on the natural layout (prepare_row0 takes the
+        # EnergieEut=None reference path regardless of cfg.fold_field)
         E, E2, Ra, PS = self._prepare(self._consts, U0_b)
         E, E2, Ra, PS = (np.asarray(E), np.asarray(E2),
                          np.asarray(Ra), np.asarray(PS))
+
+        if self.cfg.fold_field:
+            # device state lives level-1 folded from here on; solutions()
+            # and checkpoints present the natural view
+            from .ops.dct import fold1_np
+            U0_b = jnp.asarray(fold1_np(self.U_init)[None], dtype)
+            U0_b = jnp.broadcast_to(U0_b[0], (self.R,) + U0.shape)
 
         states = jax.vmap(
             lambda U, e2: state_mod.init_state(
@@ -251,11 +279,18 @@ class EnsembleSolver:
                              dtype=np.float64)
             for i in range(k):
                 slabs[i] = gen.next_sample()
+            if self.cfg.fold_field:
+                # same slab values must land on the same original cells
+                from .ops.dct import fold1_np
+                slabs = fold1_np(slabs)
             return jnp.asarray(slabs, self.cfg.jdtype)
         if self._jitter_mode == 'static':
             if self._static_jbuf is None:
-                self._static_jbuf = jnp.asarray(
-                    self._ensure_generator().next_sample(), self.cfg.jdtype)
+                buf = np.asarray(self._ensure_generator().next_sample())
+                if self.cfg.fold_field:
+                    from .ops.dct import fold1_np
+                    buf = fold1_np(buf)
+                self._static_jbuf = jnp.asarray(buf, self.cfg.jdtype)
             return self._static_jbuf
         return self._null_jbuf
 
@@ -338,6 +373,10 @@ class EnsembleSolver:
         Us, steps, tau0s, t0s, stops = self._host_leaves(
             states.U, states.computed_steps, states.tau0, states.t0,
             states.stop_reason)
+        if self.cfg.fold_field:
+            # device state is level-1 folded; present the natural view
+            from .ops.dct import fold1_np
+            Us = fold1_np(Us)
         sols = []
         for r in range(self.R):
             p = self.params.deepcopy()

@@ -259,9 +259,20 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
         # preview at <=512 px a side: the full field is a multi-MB
         # device->host pull per refresh over the slow tunnel
         stride = max(1, init_params.N // 512)
+        _unfold = None
+        if getattr(init_params, 'fold_field', False):
+            import jax as _jax
+
+            from .ops.dct import fold1
+            _unfold = _jax.jit(fold1)  # involution
 
         def on_chunk(ens, states):
-            U0 = np.asarray(states.U[0][::stride, ::stride])
+            U0dev = states.U[0]
+            if _unfold is not None:
+                # device state is level-1 folded; unfold on device so the
+                # host pull stays the strided preview size
+                U0dev = _unfold(U0dev)
+            U0 = np.asarray(U0dev[::stride, ::stride])
             step = int(np.asarray(states.computed_steps[0]))
             view.set_Umap(U0, init_params.threshold,
                           title=f"member 0 | step {step}")

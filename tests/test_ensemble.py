@@ -276,6 +276,88 @@ def test_ensemble_ozaki_matches_single_runs():
         np.testing.assert_array_equal(np.asarray(a.U), np.asarray(b.U))
 
 
+def test_ensemble_fold_field_matches_natural():
+    """--fold-field composes with the vmapped ensemble: every member's U
+    trajectory is bit-identical to the natural-layout ensemble (the fold
+    is pure data layout), with stream-jitter slabs folded so the same
+    sample values land on the same original cells."""
+    def run(fold):
+        p = base_params(N=64, generator='uniform', jitter=0.01, seed=2023,
+                        transform_backend='split')
+        p.fold_field = fold
+        pairs = a_pairs(p, [(1.0, 1.0), (1.004, 0.997)])
+        ens = EnsembleSolver(p, pairs)
+        ens.prepare()
+        return ens.solve_or_resume(p.ntmax)
+
+    nat = run(False)
+    fol = run(True)
+    for a, b in zip(nat, fol):
+        assert a.computed_steps == b.computed_steps
+        np.testing.assert_array_equal(np.asarray(b.U), np.asarray(a.U))
+        # fold forces the restructured (fast) stats: ULP-order trace shift
+        np.testing.assert_allclose(b.timedata.data(), a.timedata.data(),
+                                   rtol=1e-12, atol=1e-13)
+
+
+def test_ensemble_fold_field_guards():
+    """Ensemble fold needs the split route and member-local fields."""
+    from chsimpy_tpu.parallel.mesh import make_ensemble_mesh
+    p = base_params(transform_backend='matmul')
+    p.fold_field = True
+    pairs = a_pairs(p, [(1.0, 1.0), (1.004, 0.997)])
+    with pytest.raises(ValueError, match='split'):
+        EnsembleSolver(p, pairs)
+    p2 = base_params(transform_backend='split')
+    p2.fold_field = True
+    mesh = make_ensemble_mesh(2, (2, 2))
+    with pytest.raises(ValueError, match='member-local'):
+        EnsembleSolver(p2, pairs, mesh=mesh)
+    # ens-only sharding is fine
+    mesh_ens = make_ensemble_mesh(2, (1, 1))
+    EnsembleSolver(p2, pairs, mesh=mesh_ens)
+
+
+def test_ensemble_fold_checkpoint_natural_on_disk(tmp_path):
+    """Checkpoints of a folded ensemble hold the NATURAL per-member
+    fields on disk and resume bit-exactly (fold re-applied on restore)."""
+    from chsimpy_tpu.checkpoint import (restore_ensemble,
+                                        save_ensemble_checkpoint)
+
+    def params():
+        p = base_params(N=32, ntmax=40, transform_backend='split')
+        p.fold_field = True
+        return p
+
+    pairs = a_pairs(params(), [(1.0, 1.0), (1.004, 0.997)])
+
+    # uninterrupted folded run with the same re-entry boundary
+    ref = EnsembleSolver(params(), pairs)
+    ref.prepare()
+    ref.solve_or_resume(15)
+    sols_ref = ref.solve_or_resume(25, preserve_stops=True)
+
+    part = EnsembleSolver(params(), pairs)
+    part.prepare()
+    part.solve_or_resume(15)
+    f = str(tmp_path / 'fold.ens.ckpt.npz')
+    save_ensemble_checkpoint(f, part)
+
+    # the on-disk fields are the natural view (== solutions() view)
+    z = np.load(f, allow_pickle=False)
+    sols_part = part.solutions()
+    for r in range(2):
+        np.testing.assert_array_equal(np.asarray(z['U'])[r],
+                                      np.asarray(sols_part[r].U))
+
+    res = restore_ensemble(f)
+    assert res.cfg.fold_field is True
+    sols_res = res.solve_or_resume(25, preserve_stops=True)
+    for a, b in zip(sols_ref, sols_res):
+        assert a.computed_steps == b.computed_steps
+        np.testing.assert_array_equal(np.asarray(b.U), np.asarray(a.U))
+
+
 def test_experiment_checkpoint_restore(tmp_path, monkeypatch):
     """Experiment-level checkpoint/resume: an interrupted batch restores
     from the periodic snapshot and finishes exactly like an in-memory

@@ -405,6 +405,35 @@ def test_fold_field_checkpoint_roundtrip(tmp_path):
                                   ref.solution.timedata.data())
 
 
+def test_fold_field_device_jitter_bit_matches_natural():
+    """Device (threefry) jitter under --fold-field: the stepper folds the
+    drawn slab so the same sample values land on the same original cells
+    — U trajectory bit-identical to the natural run."""
+    import chsimpy_tpu as ct
+    from chsimpy_tpu.core.solver import Solver
+
+    def run(fold):
+        p = ct.Parameters()
+        p.N = 32
+        p.ntmax = 30
+        p.no_gui = True
+        p.update_every = None
+        p.full_sim = True
+        p.generator = 'uniform'
+        p.jitter = 0.01
+        p.jitter_backend = 'device'
+        p.seed = 2023
+        p.transform_backend = 'split'
+        p.kappa_tilde = 2.98911291966116e-4
+        p.fold_field = fold
+        s = Solver(p)
+        s.prepare()
+        s.solve_or_resume(30)
+        return np.asarray(s.solution.U)
+
+    np.testing.assert_array_equal(run(True), run(False))
+
+
 def test_fold_field_guards():
     """fold_field composes only with split/xla/single-device (adaptive
     time IS supported — see test_fold_field_adaptive_bit_matches_natural)."""
