@@ -40,6 +40,19 @@ PROBE_BUDGET_S = 38 * 60     # keep probing this long before giving up
 TOTAL_TIMEOUT_S = 55 * 60    # warm .xla_cache makes the sweep itself a
                              # few minutes; 55-38 leaves >15 min for it
 
+# single-client chip coordination with the recovery capture battery
+# (scripts/capture_r3.sh): the battery holds CAPTURE_LOCK while it owns
+# the chip; this bench holds BENCH_LOCK so the tunnel watcher defers
+# firing the battery mid-bench.  The battery's OWN bench invocation sets
+# CHSIMPY_CAPTURE=1 and skips the capture-lock wait (no self-deadlock).
+_DIR = os.path.dirname(os.path.abspath(__file__))
+CAPTURE_LOCK = os.path.join(_DIR, 'capture_r3.lock')
+CAPTURE_LOG = os.path.join(_DIR, 'capture_r3.log')
+BENCH_LOCK = os.path.join(_DIR, 'bench_running.lock')
+CAPTURE_WAIT_BUDGET_S = int(os.environ.get(
+    'CHSIMPY_CAPTURE_WAIT_S', 25 * 60))  # wait for a running battery
+LOCK_FRESH_S = 3 * 3600           # older locks are crash leftovers
+
 
 def _emit_failure(reason, detail=None):
     print(json.dumps({'metric': 'ch_steps_per_s_N4096_chip',
@@ -69,10 +82,10 @@ def _probe_backend_once():
     return True, r.stdout.strip()
 
 
-def _probe_backend():
+def _probe_backend(budget_s=PROBE_BUDGET_S):
     """Retry-loop probe: a flapping tunnel must not zero the round.
 
-    Probes until one succeeds or PROBE_BUDGET_S elapses; reports the
+    Probes until one succeeds or ``budget_s`` elapses; reports the
     attempt count and total wait in the failure detail so an outage is
     distinguishable from a code bug in the artifact."""
     t0 = time.time()
@@ -88,13 +101,71 @@ def _probe_backend():
             return True, info
         print(f"probe {attempts} failed ({info}); {elapsed:.0f}s elapsed",
               file=sys.stderr)
-        if elapsed + PROBE_RETRY_SLEEP_S + PROBE_TIMEOUT_S > PROBE_BUDGET_S:
+        if elapsed + PROBE_RETRY_SLEEP_S + PROBE_TIMEOUT_S > budget_s:
             return False, (f'{info} [after {attempts} probes over '
                            f'{elapsed:.0f}s]')
         time.sleep(PROBE_RETRY_SLEEP_S)
 
 
+def _lock_fresh(path):
+    try:
+        return time.time() - os.path.getmtime(path) < LOCK_FRESH_S
+    except OSError:
+        return False
+
+
+def _salvage_battery_bench():
+    """The battery's step 1 IS `python bench.py`; its JSON line lands in
+    capture_r3.log.  If the battery still holds the chip when the wait
+    budget runs out, that line is a genuine same-session measurement —
+    re-emit it with explicit provenance rather than zero the round."""
+    try:
+        age = time.time() - os.path.getmtime(CAPTURE_LOG)
+        if age > LOCK_FRESH_S:
+            return None
+        best = None
+        with open(CAPTURE_LOG) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith('{"metric"'):
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue
+                    if rec.get('value', 0) > 0:
+                        best = rec  # keep the most recent positive line
+        if best is not None:
+            best.setdefault('detail', {})['source'] = (
+                'capture_r3.log (battery bench step, same session, log '
+                f'age {age:.0f}s; the battery still held the chip at '
+                'driver-bench time)')
+        return best
+    except OSError:
+        pass
+    return None
+
+
+def _wait_for_capture_battery():
+    """Block while the recovery battery owns the chip (bounded)."""
+    if os.environ.get('CHSIMPY_CAPTURE') or not (
+            os.path.exists(CAPTURE_LOCK) and _lock_fresh(CAPTURE_LOCK)):
+        return True
+    t0 = time.time()
+    print('capture battery holds the chip; waiting for it', file=sys.stderr)
+    while time.time() - t0 < CAPTURE_WAIT_BUDGET_S:
+        if not (os.path.exists(CAPTURE_LOCK) and _lock_fresh(CAPTURE_LOCK)):
+            print(f'battery released the chip after {time.time()-t0:.0f}s',
+                  file=sys.stderr)
+            return True
+        time.sleep(30)
+    return False
+
+
 def _alarm_handler(signum, frame):  # pragma: no cover
+    try:
+        os.unlink(BENCH_LOCK)
+    except OSError:
+        pass
     _emit_failure(f'bench exceeded {TOTAL_TIMEOUT_S}s watchdog')
     os._exit(1)
 
@@ -134,7 +205,34 @@ def bench_size(N, precision, nsteps, chunk_size=1024):
 def main():
     signal.signal(signal.SIGALRM, _alarm_handler)
     signal.alarm(TOTAL_TIMEOUT_S)
-    ok, info = _probe_backend()
+    try:
+        return _main_locked()
+    finally:
+        try:
+            os.unlink(BENCH_LOCK)
+        except OSError:
+            pass
+
+
+def _main_locked():
+    t_start = time.time()
+    # advertise the running bench so the tunnel watcher defers the battery
+    with open(BENCH_LOCK, 'w') as f:
+        f.write(str(os.getpid()))
+    if not _wait_for_capture_battery():
+        rec = _salvage_battery_bench()
+        if rec is not None:
+            print(json.dumps(rec))
+            return 0
+        _emit_failure('capture battery held the chip past the '
+                      f'{CAPTURE_WAIT_BUDGET_S}s wait and its log has no '
+                      'bench line yet')
+        return 1
+    # any time spent waiting on the battery comes out of the probe
+    # budget (the sweep itself needs the last ~15 min of the watchdog)
+    budget = min(PROBE_BUDGET_S,
+                 TOTAL_TIMEOUT_S - (time.time() - t_start) - 15 * 60)
+    ok, info = _probe_backend(max(budget, PROBE_TIMEOUT_S + 10))
     if not ok:
         _emit_failure(info)
         return 1

@@ -16,6 +16,15 @@ set -u
 set -o pipefail
 cd "$(dirname "$0")/.."
 LOG=${1:-capture_r3.log}
+
+# single-client chip coordination with the driver's bench.py: hold the
+# capture lock while the battery owns the chip (bench.py waits on it,
+# bounded, and can salvage this battery's own bench line from $LOG);
+# CHSIMPY_CAPTURE=1 stops our own bench.py step from waiting on us.
+touch capture_r3.lock
+trap 'rm -f capture_r3.lock' EXIT
+export CHSIMPY_CAPTURE=1
+
 echo "== r3 capture battery $(date -u +%FT%TZ) ==" | tee -a "$LOG"
 
 run() {
