@@ -41,17 +41,21 @@ TOTAL_TIMEOUT_S = 55 * 60    # warm .xla_cache makes the sweep itself a
                              # few minutes; 55-38 leaves >15 min for it
 
 # single-client chip coordination with the recovery capture battery
-# (scripts/capture_r3.sh): the battery holds CAPTURE_LOCK while it owns
-# the chip; this bench holds BENCH_LOCK so the tunnel watcher defers
-# firing the battery mid-bench.  The battery's OWN bench invocation sets
-# CHSIMPY_CAPTURE=1 and skips the capture-lock wait (no self-deadlock).
+# (scripts/capture_r3.sh) and the tunnel watcher (scripts/tunnel_watch.sh):
+# one atomic mkdir mutex, CHIP_LOCK_DIR, serializes chip ownership (an
+# mkdir either creates the directory or fails — no check-then-act
+# window).  The holder writes "<role> <pid>" into owner and re-touches
+# the directory while working; a mutex whose holder pid is dead or whose
+# mtime is stale is a crash leftover and may be broken.  The battery's
+# OWN bench invocation sets CHSIMPY_CAPTURE=1 and skips acquisition (its
+# parent already holds the mutex).
 _DIR = os.path.dirname(os.path.abspath(__file__))
-CAPTURE_LOCK = os.path.join(_DIR, 'capture_r3.lock')
+CHIP_LOCK_DIR = os.path.join(_DIR, 'chip.lock.d')
 CAPTURE_LOG = os.path.join(_DIR, 'capture_r3.log')
-BENCH_LOCK = os.path.join(_DIR, 'bench_running.lock')
 CAPTURE_WAIT_BUDGET_S = int(os.environ.get(
     'CHSIMPY_CAPTURE_WAIT_S', 25 * 60))  # wait for a running battery
-LOCK_FRESH_S = 3 * 3600           # older locks are crash leftovers
+LOCK_FRESH_S = 3 * 3600           # older mutexes are crash leftovers
+                                  # (holders re-touch between steps)
 
 
 def _emit_failure(reason, detail=None):
@@ -82,12 +86,15 @@ def _probe_backend_once():
     return True, r.stdout.strip()
 
 
-def _probe_backend(budget_s=PROBE_BUDGET_S):
+def _probe_backend(budget_s=None):
     """Retry-loop probe: a flapping tunnel must not zero the round.
 
-    Probes until one succeeds or ``budget_s`` elapses; reports the
-    attempt count and total wait in the failure detail so an outage is
-    distinguishable from a code bug in the artifact."""
+    Probes until one succeeds or ``budget_s`` (default PROBE_BUDGET_S,
+    resolved at call time so tests can monkeypatch it) elapses; reports
+    the attempt count and total wait in the failure detail so an outage
+    is distinguishable from a code bug in the artifact."""
+    if budget_s is None:
+        budget_s = PROBE_BUDGET_S
     t0 = time.time()
     attempts = 0
     while True:
@@ -107,18 +114,90 @@ def _probe_backend(budget_s=PROBE_BUDGET_S):
         time.sleep(PROBE_RETRY_SLEEP_S)
 
 
-def _lock_fresh(path):
+def _mutex_owner():
+    """(role, pid) of the current mutex holder, or None."""
     try:
-        return time.time() - os.path.getmtime(path) < LOCK_FRESH_S
+        with open(os.path.join(CHIP_LOCK_DIR, 'owner')) as f:
+            role, pid = f.read().split()
+        return role, int(pid)
+    except (OSError, ValueError):
+        if os.path.isdir(CHIP_LOCK_DIR):
+            return 'unknown', -1
+        return None
+
+
+def _mutex_stale():
+    """A mutex is a crash leftover if its holder pid is dead or its
+    mtime is old (live holders re-touch between steps)."""
+    owner = _mutex_owner()
+    if owner is None:
+        return False
+    _, pid = owner
+    if pid > 0:
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return True
+        except PermissionError:
+            pass
+    try:
+        return time.time() - os.path.getmtime(CHIP_LOCK_DIR) > LOCK_FRESH_S
     except OSError:
         return False
+
+
+def _acquire_chip_mutex(budget_s):
+    """Atomically acquire CHIP_LOCK_DIR (mkdir), waiting up to budget_s.
+    Returns True on acquisition.  Stale mutexes are broken and retried."""
+    t0 = time.time()
+    announced = False
+    while True:
+        try:
+            os.mkdir(CHIP_LOCK_DIR)
+            with open(os.path.join(CHIP_LOCK_DIR, 'owner'), 'w') as f:
+                f.write(f'bench {os.getpid()}')
+            return True
+        except FileExistsError:
+            pass
+        if _mutex_stale():
+            print(f'breaking stale chip mutex (owner {_mutex_owner()})',
+                  file=sys.stderr)
+            _release_chip_mutex(force=True)
+            continue
+        if not announced:
+            print(f'chip mutex held by {_mutex_owner()}; waiting',
+                  file=sys.stderr)
+            announced = True
+        if time.time() - t0 >= budget_s:
+            return False
+        time.sleep(15)
+
+
+def _release_chip_mutex(force=False):
+    """Remove the mutex (only our own unless force)."""
+    owner = _mutex_owner()
+    if owner is None:
+        return
+    if not force and owner != ('bench', os.getpid()):
+        return
+    try:
+        os.unlink(os.path.join(CHIP_LOCK_DIR, 'owner'))
+    except OSError:
+        pass
+    try:
+        os.rmdir(CHIP_LOCK_DIR)
+    except OSError:
+        pass
 
 
 def _salvage_battery_bench():
     """The battery's step 1 IS `python bench.py`; its JSON line lands in
     capture_r3.log.  If the battery still holds the chip when the wait
     budget runs out, that line is a genuine same-session measurement —
-    re-emit it with explicit provenance rather than zero the round."""
+    re-emit it with explicit provenance rather than zero the round.
+    Only lines AFTER the battery's most recent start header count: the
+    log is append-mode across sessions, so earlier positive lines may
+    be days old."""
     try:
         age = time.time() - os.path.getmtime(CAPTURE_LOG)
         if age > LOCK_FRESH_S:
@@ -127,46 +206,40 @@ def _salvage_battery_bench():
         with open(CAPTURE_LOG) as f:
             for line in f:
                 line = line.strip()
+                if line.startswith('== r3 capture battery'):
+                    best = None  # new battery session: forget older lines
+                    continue
                 if line.startswith('{"metric"'):
                     try:
                         rec = json.loads(line)
                     except ValueError:
                         continue
                     if rec.get('value', 0) > 0:
-                        best = rec  # keep the most recent positive line
+                        best = rec  # most recent positive this session
         if best is not None:
             best.setdefault('detail', {})['source'] = (
-                'capture_r3.log (battery bench step, same session, log '
-                f'age {age:.0f}s; the battery still held the chip at '
-                'driver-bench time)')
+                'capture_r3.log (battery bench step of the most recent '
+                f'battery session, log age {age:.0f}s; the battery still '
+                'held the chip at driver-bench time)')
         return best
     except OSError:
         pass
     return None
 
 
-def _wait_for_capture_battery():
-    """Block while the recovery battery owns the chip (bounded)."""
-    if os.environ.get('CHSIMPY_CAPTURE') or not (
-            os.path.exists(CAPTURE_LOCK) and _lock_fresh(CAPTURE_LOCK)):
-        return True
-    t0 = time.time()
-    print('capture battery holds the chip; waiting for it', file=sys.stderr)
-    while time.time() - t0 < CAPTURE_WAIT_BUDGET_S:
-        if not (os.path.exists(CAPTURE_LOCK) and _lock_fresh(CAPTURE_LOCK)):
-            print(f'battery released the chip after {time.time()-t0:.0f}s',
-                  file=sys.stderr)
-            return True
-        time.sleep(30)
-    return False
-
-
 def _alarm_handler(signum, frame):  # pragma: no cover
-    try:
-        os.unlink(BENCH_LOCK)
-    except OSError:
-        pass
+    if not os.environ.get('CHSIMPY_CAPTURE'):
+        _release_chip_mutex()
     _emit_failure(f'bench exceeded {TOTAL_TIMEOUT_S}s watchdog')
+    os._exit(1)
+
+
+def _term_handler(signum, frame):  # pragma: no cover
+    # a SIGTERM (driver timeout) must not leave the chip mutex behind,
+    # and the driver still needs its one JSON line
+    if not os.environ.get('CHSIMPY_CAPTURE'):
+        _release_chip_mutex()
+    _emit_failure('bench terminated by SIGTERM')
     os._exit(1)
 
 
@@ -204,32 +277,30 @@ def bench_size(N, precision, nsteps, chunk_size=1024):
 
 def main():
     signal.signal(signal.SIGALRM, _alarm_handler)
+    signal.signal(signal.SIGTERM, _term_handler)
     signal.alarm(TOTAL_TIMEOUT_S)
+    own_mutex = not os.environ.get('CHSIMPY_CAPTURE')
     try:
-        return _main_locked()
+        return _main_locked(own_mutex)
     finally:
-        try:
-            os.unlink(BENCH_LOCK)
-        except OSError:
-            pass
+        if own_mutex:
+            _release_chip_mutex()
 
 
-def _main_locked():
+def _main_locked(own_mutex):
     t_start = time.time()
-    # advertise the running bench so the tunnel watcher defers the battery
-    with open(BENCH_LOCK, 'w') as f:
-        f.write(str(os.getpid()))
-    if not _wait_for_capture_battery():
+    # the battery's own bench step inherits its parent's mutex
+    if own_mutex and not _acquire_chip_mutex(CAPTURE_WAIT_BUDGET_S):
         rec = _salvage_battery_bench()
         if rec is not None:
             print(json.dumps(rec))
             return 0
-        _emit_failure('capture battery held the chip past the '
-                      f'{CAPTURE_WAIT_BUDGET_S}s wait and its log has no '
-                      'bench line yet')
+        _emit_failure(f'chip mutex held by {_mutex_owner()} past the '
+                      f'{CAPTURE_WAIT_BUDGET_S}s wait and capture_r3.log '
+                      'has no bench line from its session')
         return 1
-    # any time spent waiting on the battery comes out of the probe
-    # budget (the sweep itself needs the last ~15 min of the watchdog)
+    # any time spent waiting on the mutex comes out of the probe budget
+    # (the sweep itself needs the last ~15 min of the watchdog)
     budget = min(PROBE_BUDGET_S,
                  TOTAL_TIMEOUT_S - (time.time() - t_start) - 15 * 60)
     ok, info = _probe_backend(max(budget, PROBE_TIMEOUT_S + 10))

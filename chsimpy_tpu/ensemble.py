@@ -239,8 +239,9 @@ class EnsembleSolver:
             # device state lives level-1 folded from here on; solutions()
             # and checkpoints present the natural view
             from .ops.dct import fold1_np
-            U0_b = jnp.asarray(fold1_np(self.U_init)[None], dtype)
-            U0_b = jnp.broadcast_to(U0_b[0], (self.R,) + U0.shape)
+            U0_b = jnp.broadcast_to(
+                jnp.asarray(fold1_np(self.U_init), dtype),
+                (self.R,) + U0.shape)
 
         states = jax.vmap(
             lambda U, e2: state_mod.init_state(

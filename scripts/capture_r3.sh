@@ -17,17 +17,54 @@ set -o pipefail
 cd "$(dirname "$0")/.."
 LOG=${1:-capture_r3.log}
 
-# single-client chip coordination with the driver's bench.py: hold the
-# capture lock while the battery owns the chip (bench.py waits on it,
-# bounded, and can salvage this battery's own bench line from $LOG);
-# CHSIMPY_CAPTURE=1 stops our own bench.py step from waiting on us.
-touch capture_r3.lock
-trap 'rm -f capture_r3.lock' EXIT
+# single-client chip coordination (see bench.py's mutex notes): acquire
+# the atomic chip mutex before the first chip step — a driver bench that
+# is already running holds it, and we wait for it.  The mutex dir is
+# re-touched between steps so holders are distinguishable from crash
+# leftovers; CHSIMPY_CAPTURE=1 stops our own bench.py step from
+# re-acquiring (it inherits ours).
+MUTEX=chip.lock.d
+HAVE_MUTEX=0
+acquire_mutex() {
+    local t0 budget pid
+    t0=$(date +%s); budget=${MUTEX_BUDGET_S:-3600}
+    while true; do
+        if mkdir "$MUTEX" 2>/dev/null; then
+            echo "battery $$" > "$MUTEX/owner"
+            HAVE_MUTEX=1
+            return 0
+        fi
+        pid=$(awk '{print $2}' "$MUTEX/owner" 2>/dev/null || true)
+        if [ -n "${pid:-}" ] && ! kill -0 "$pid" 2>/dev/null; then
+            echo "breaking stale chip mutex (dead pid $pid)" | tee -a "$LOG"
+            rm -rf "$MUTEX"; continue
+        fi
+        if [ -d "$MUTEX" ] && \
+           [ -z "$(find "$MUTEX" -maxdepth 0 -mmin -180 2>/dev/null)" ]; then
+            echo "breaking stale chip mutex (mtime >3h)" | tee -a "$LOG"
+            rm -rf "$MUTEX"; continue
+        fi
+        if [ $(( $(date +%s) - t0 )) -ge "$budget" ]; then
+            return 1
+        fi
+        sleep 30
+    done
+}
+release_mutex() {
+    [ "$HAVE_MUTEX" = 1 ] && rm -rf "$MUTEX"
+}
+trap release_mutex EXIT
 export CHSIMPY_CAPTURE=1
+
+if ! acquire_mutex; then
+    echo "capture battery: chip mutex never freed; aborting" | tee -a "$LOG"
+    exit 1
+fi
 
 echo "== r3 capture battery $(date -u +%FT%TZ) ==" | tee -a "$LOG"
 
 run() {
+    touch "$MUTEX"   # live-holder heartbeat for the staleness checks
     echo "--- $* ---" | tee -a "$LOG"
     timeout "${T:-1800}" "$@" 2>&1 | tee -a "$LOG"
     echo "exit=${PIPESTATUS[0]}" | tee -a "$LOG"

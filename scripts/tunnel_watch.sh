@@ -9,11 +9,12 @@ echo "tunnel_watch: start $(date -u +%FT%TZ), deadline in ${WATCH_BUDGET_S:-3600
 n=0
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     n=$((n+1))
-    # a running driver bench owns the chip: defer both the probe and the
-    # battery until its lock clears (bench.py removes it on every exit
-    # path; treat >70 min as a crash leftover — the bench watchdog is 55)
-    if [ -f bench_running.lock ] && [ -n "$(find bench_running.lock -mmin -70 2>/dev/null)" ]; then
-        echo "tunnel_watch: driver bench running, deferring probe $n"
+    # a live chip-mutex holder (driver bench or a battery) owns the
+    # single-client tunnel: don't even probe against it.  Stale mutexes
+    # are broken by the acquirers (capture_r3.sh / bench.py), not here.
+    holder_pid=$(awk '{print $2}' chip.lock.d/owner 2>/dev/null || true)
+    if [ -n "${holder_pid:-}" ] && kill -0 "$holder_pid" 2>/dev/null; then
+        echo "tunnel_watch: chip mutex held (pid $holder_pid), deferring probe $n"
         sleep 120
         continue
     fi
@@ -22,12 +23,9 @@ import jax, jax.numpy as jnp
 print(jax.devices())
 print(float(jnp.ones((4,4)).sum()))
 " >/dev/null 2>&1; then
-        if [ -f bench_running.lock ] && [ -n "$(find bench_running.lock -mmin -70 2>/dev/null)" ]; then
-            echo "tunnel_watch: tunnel up but driver bench started, deferring"
-            sleep 120
-            continue
-        fi
         echo "tunnel_watch: probe $n OK at $(date -u +%FT%TZ) — firing battery"
+        # the battery acquires the chip mutex atomically itself (and
+        # waits if a driver bench started in the meantime)
         bash scripts/capture_r3.sh capture_r3.log
         echo "tunnel_watch: battery finished at $(date -u +%FT%TZ)"
         exit 0

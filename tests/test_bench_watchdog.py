@@ -91,3 +91,57 @@ def test_probe_retry_loop_survives_transient_outage(monkeypatch, capsys):
     ok, info = bench._probe_backend()
     assert not ok
     assert 'probes over' in info
+
+
+def test_chip_mutex_acquire_release_and_stale_break(tmp_path, monkeypatch):
+    """The atomic chip mutex: mkdir-acquire, owner-tagged release, and
+    crash-leftover breaking (dead holder pid)."""
+    bench = _load_bench()
+    monkeypatch.setattr(bench, 'CHIP_LOCK_DIR', str(tmp_path / 'chip.lock.d'))
+
+    assert bench._acquire_chip_mutex(1)
+    assert bench._mutex_owner() == ('bench', os.getpid())
+    bench._release_chip_mutex()
+    assert bench._mutex_owner() is None
+
+    # held by a live foreign pid: acquisition times out, no takeover
+    os.mkdir(bench.CHIP_LOCK_DIR)
+    with open(os.path.join(bench.CHIP_LOCK_DIR, 'owner'), 'w') as f:
+        f.write('battery 1')  # pid 1 is alive
+    assert not bench._acquire_chip_mutex(0.05)
+    assert bench._mutex_owner() == ('battery', 1)
+    # _release only removes our own mutex
+    bench._release_chip_mutex()
+    assert bench._mutex_owner() == ('battery', 1)
+
+    # dead holder pid = crash leftover: broken and re-acquired
+    with open(os.path.join(bench.CHIP_LOCK_DIR, 'owner'), 'w') as f:
+        f.write('battery 999999999')
+    assert bench._acquire_chip_mutex(1)
+    assert bench._mutex_owner() == ('bench', os.getpid())
+    bench._release_chip_mutex()
+
+
+def test_salvage_scopes_to_latest_battery_session(tmp_path, monkeypatch):
+    """A stale positive bench line from a PREVIOUS battery session must
+    never be re-emitted as the current round's metric; a positive line
+    from the most recent session is salvaged with provenance."""
+    bench = _load_bench()
+    log = tmp_path / 'capture_r3.log'
+    monkeypatch.setattr(bench, 'CAPTURE_LOG', str(log))
+
+    old = ('{"metric": "ch_steps_per_s_N4096_chip", "value": 42.0, '
+           '"unit": "steps/s", "vs_baseline": 302.8, "detail": {}}')
+    log.write_text('== r3 capture battery 2026-08-16T01:00:00Z ==\n'
+                   + old + '\n'
+                   '== r3 capture battery (current) ==\n'
+                   '--- python bench.py ---\n')
+    assert bench._salvage_battery_bench() is None
+
+    fresh = ('{"metric": "ch_steps_per_s_N4096_chip", "value": 171.2, '
+             '"unit": "steps/s", "vs_baseline": 1234.3, "detail": {}}')
+    with open(log, 'a') as f:
+        f.write(fresh + '\n')
+    rec = bench._salvage_battery_bench()
+    assert rec is not None and rec['value'] == 171.2
+    assert 'most recent battery session' in rec['detail']['source']

@@ -300,6 +300,31 @@ def test_ensemble_fold_field_matches_natural():
                                    rtol=1e-12, atol=1e-13)
 
 
+def test_ensemble_fold_field_adaptive_bit_matches_natural():
+    """fold + adaptive + ensemble, all three together: the vmapped
+    adapted() norm (row-unfolded operand + optimization_barrier) must
+    keep every member's delt — and therefore U — bit-identical to the
+    natural-layout ensemble.  Runs past the step-500 adaptation onset."""
+    def run(fold):
+        p = base_params(N=32, ntmax=560, transform_backend='split',
+                        adaptive_time=True)
+        p.fold_field = fold
+        pairs = a_pairs(p, [(1.0, 1.0), (1.004, 0.997)])
+        ens = EnsembleSolver(p, pairs)
+        ens.prepare()
+        return ens.solve_or_resume(p.ntmax)
+
+    nat = run(False)
+    fol = run(True)
+    for a, b in zip(nat, fol):
+        assert a.computed_steps == b.computed_steps
+        da = np.asarray(a.timedata.data())[:, 8]
+        db = np.asarray(b.timedata.data())[:, 8]
+        assert da.max() > da[0]  # the adaptation actually fired
+        np.testing.assert_array_equal(db, da)
+        np.testing.assert_array_equal(np.asarray(b.U), np.asarray(a.U))
+
+
 def test_ensemble_fold_field_guards():
     """Ensemble fold needs the split route and member-local fields."""
     from chsimpy_tpu.parallel.mesh import make_ensemble_mesh
