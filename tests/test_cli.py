@@ -98,6 +98,9 @@ def test_cli_entry_honors_jax_platforms_env(tmp_path):
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
     env.pop('XLA_FLAGS', None)
+    # the subprocess runs from tmp_path; keep the repo importable there
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env['PYTHONPATH'] = repo_root + os.pathsep + env.get('PYTHONPATH', '')
     code = (
         "import sys; sys.argv = ['chsimpy', '-n', '3', '-N', '16',"
         " '--no-gui']\n"
