@@ -101,8 +101,10 @@ FLAGS = [
          'Keep the field in the level-1 folded layout between transforms '
          '(split route, single device): drops 4 full-field reversal '
          'relayouts per step; U trajectory bit-identical, stats regroup '
-         'their sums (ULP-order trace shift)', param='fold_field',
-         action='store_true'),
+         'their sums (ULP-order trace shift). Default: auto — folds '
+         'whenever it composes (measured +3.6%% e2e at N=4096 f32); '
+         '--no-fold-field forces the natural layout', param='fold_field',
+         action=argparse.BooleanOptionalAction),
     Flag(('--transform',), 'TPU',
          '2-D DCT route: matmul (MXU, shards under --mesh), split '
          '(folded matmul, ~1.5x faster on one chip at N>=1024), fft '

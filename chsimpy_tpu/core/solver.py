@@ -43,6 +43,25 @@ _JITTER_BUF_BYTES = 64 << 20  # cap on the per-chunk host jitter pre-draw
 SPLIT_MIN_N = 1024
 
 
+def resolve_fold_field(params: Parameters) -> bool:
+    """Resolve Parameters.fold_field (None = auto) for this run.
+
+    Auto folds whenever it composes: split transform route, single device,
+    XLA kernels.  Measured on the v5e chip (artifacts/r3/capture_r3.log):
+    +3.6% end-to-end at N=4096 f32 (117.2 vs 113.1 steps/s) with a
+    bit-identical U trajectory; the stats regroup their sums (ULP-order
+    trace shift, f32 mode only — f64 split runs keep the same contract
+    class, and the CPU f64 contract path resolves to matmul where fold
+    never engages).
+    """
+    ff = getattr(params, 'fold_field', None)
+    if ff is not None:
+        return bool(ff)
+    return (params.mesh_shape is None
+            and getattr(params, 'kernel_backend', 'xla') == 'xla'
+            and resolve_transform(params) == 'split')
+
+
 def resolve_transform(params: Parameters) -> str:
     """Resolve Parameters.transform_backend ('auto' allowed) to the
     concrete route for this run ('matmul' | 'split' | 'fft' | 'ozaki')."""
@@ -163,7 +182,7 @@ class Solver:
         if params.time_max is not None and params.time_max > 0:
             time_limit = params.time_max * 60.0
 
-        fold_field = bool(getattr(params, 'fold_field', False))
+        fold_field = resolve_fold_field(params)
         if fold_field:
             if params.mesh_shape is not None:
                 raise ValueError("--fold-field is single-device only "

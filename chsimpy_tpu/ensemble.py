@@ -86,7 +86,17 @@ class EnsembleSolver:
                      and 0.0 < params.jitter < 0.1)
         if jitter_on and params.generator == 'lcg':
             raise ValueError("jitter requires a sample stream; 'lcg' has none")
-        fold_field = bool(getattr(params, 'fold_field', False))
+        _ff = getattr(params, 'fold_field', None)
+        _grid_sharded = mesh is not None and (
+            mesh.shape.get('x', 1) * mesh.shape.get('y', 1) > 1)
+        if _ff is None:
+            # auto (same policy as resolve_fold_field, with the ensemble's
+            # own mesh deciding grid-shardedness): fold when it composes
+            fold_field = (not _grid_sharded
+                          and params.kernel_backend == 'xla'
+                          and solver_mod.resolve_transform(params) == 'split')
+        else:
+            fold_field = bool(_ff)
         if fold_field:
             # same composition rules as the single-run solver: the fold is
             # a property of the split route's level-1 layout, and the seam

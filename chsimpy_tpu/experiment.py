@@ -259,15 +259,23 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
         # preview at <=512 px a side: the full field is a multi-MB
         # device->host pull per refresh over the slow tunnel
         stride = max(1, init_params.N // 512)
-        _unfold = None
-        if getattr(init_params, 'fold_field', False):
-            import jax as _jax
+        _unfold_cache = {}
 
-            from .ops.dct import fold1
-            _unfold = _jax.jit(fold1)  # involution
+        def _unfold_for(ens):
+            # decide from the solver's RESOLVED config (fold_field=None is
+            # auto-resolved at EnsembleSolver construction)
+            if not ens.cfg.fold_field:
+                return None
+            if 'fn' not in _unfold_cache:
+                import jax as _jax
+
+                from .ops.dct import fold1
+                _unfold_cache['fn'] = _jax.jit(fold1)  # involution
+            return _unfold_cache['fn']
 
         def on_chunk(ens, states):
             U0dev = states.U[0]
+            _unfold = _unfold_for(ens)
             if _unfold is not None:
                 # device state is level-1 folded; unfold on device so the
                 # host pull stays the strided preview size

@@ -459,3 +459,33 @@ def test_fold_field_guards():
         Solver(params(kernel_backend='pallas'))
     # adaptive + fold is allowed
     Solver(params(adaptive_time=True))
+
+
+def test_fold_field_auto_resolution():
+    """fold_field=None (the default) auto-folds exactly when it composes:
+    split route, single device, XLA kernels (adopted after the measured
+    +3.6%% e2e win at N=4096 f32 — artifacts/r3/capture_r3.log)."""
+    import chsimpy_tpu as ct
+    from chsimpy_tpu.core.solver import resolve_fold_field
+
+    def params(**kw):
+        p = ct.Parameters()
+        p.N = 4096
+        p.precision = 'float32'
+        for k, v in kw.items():
+            setattr(p, k, v)
+        return p
+
+    assert params().fold_field is None
+    # f32 N>=1024 resolves to split on any backend -> auto folds
+    assert resolve_fold_field(params()) is True
+    # composition exclusions resolve the auto to off (no raise)
+    assert resolve_fold_field(params(mesh_shape=(2, 4))) is False
+    assert resolve_fold_field(params(kernel_backend='pallas')) is False
+    assert resolve_fold_field(params(transform_backend='matmul')) is False
+    # small grids resolve to matmul -> no fold
+    assert resolve_fold_field(params(N=64)) is False
+    # explicit choice always wins
+    assert resolve_fold_field(params(fold_field=False)) is False
+    assert resolve_fold_field(params(N=64, transform_backend='split',
+                                     fold_field=True)) is True
