@@ -77,26 +77,14 @@ def build_pipelines(N):
     def p4_full(x, Cs, CsT, sc):
         return ozaki.dct2_ozaki(x, Cs, CsT, sc)
 
-    # fused-kernel counterparts (round 2.9): F3 = stage-1 fused kernel
-    # (group dots + renorm in VMEM), F4 = full transform with both fused
-    # stage kernels — difference vs P3/P4 is the group-plane HBM traffic
-    # + the emulated-f64 Horner
-    def f3_renorm(x, Cs, CsT, sc):
-        Us, su = ozaki.slice_field(x, n_field)
-        t = ozaki.pair_group_renorm_pallas(Cs, Us, ozaki.STAGE1_PAIR,
-                                           n_renorm)
-        r = _recombine(t, su * sc * dt(2.0 ** ozaki.RENORM_SHIFT), dt)
-        return jax.lax.optimization_barrier(r)
-
-    def f4_full(x, Cs, CsT, sc):
-        return ozaki.dct2_ozaki(x, Cs, CsT, sc, pallas_fused=True)
-
+    # (the round-2.9 fused-kernel F rows were measured SLOWER than their
+    # production counterparts on the chip — F3 +4.3 ms, F4 +6.3 ms at
+    # N=4096, artifacts/r3/capture_r3_fused.log — and the kernels were
+    # deleted; this profile keeps only the production pipeline)
     return {'P1 slice+recombine': p1_slice,
             'P2 +stage1 dots': p2_stage1,
             'P3 +renorm': p3_renorm,
-            'P4 full dct2': p4_full,
-            'F3 fused stage1': f3_renorm,
-            'F4 fused dct2': f4_full}
+            'P4 full dct2': p4_full}
 
 
 def time_pipeline(fn, x, consts, inner, reps):
@@ -130,24 +118,14 @@ def main(argv=None):
                                     .random((args.N, args.N)) - 0.5),
                     jnp.float64)
     consts = ozaki.dct_slices(args.N)
-    # P rows difference against the previous P row (cumulative
-    # prefixes); F rows difference against their production counterpart
-    baseline_of = {'F3 fused stage1': 'P3 +renorm',
-                   'F4 fused dct2': 'P4 full dct2'}
+    # rows difference against the previous row (cumulative prefixes)
     rows = []
     prev = 0.0
-    seen = {}
     for name, fn in build_pipelines(args.N).items():
         med, best = time_pipeline(fn, x, consts, args.inner, args.reps)
-        seen[name] = med
-        if name in baseline_of:
-            base = baseline_of[name]
-            delta = med - seen[base]
-            label = f"vs {base.split()[0]} {delta:+.2f} ms"
-        else:
-            delta = med - prev
-            label = f"delta {delta:+.2f} ms"
-            prev = med
+        delta = med - prev
+        label = f"delta {delta:+.2f} ms"
+        prev = med
         print(f"{name}: {med:.2f} ms median ({best:.2f} best), {label}")
         rows.append({'pipeline': name, 'ms_median': round(med, 3),
                      'ms_best': round(best, 3),

@@ -94,9 +94,8 @@ FLAGS = [
          default='host'),
     Flag(('--kernels',), 'TPU',
          'Compute-path backend: XLA-fused ops or hand-tiled Pallas TPU '
-         'kernels (pallas-fused: ozaki transform only — both int8 stages '
-         'run as fused group-accumulation kernels)', param='kernel_backend',
-         choices=['xla', 'pallas', 'pallas-fused'], default='xla'),
+         'kernels', param='kernel_backend',
+         choices=['xla', 'pallas'], default='xla'),
     Flag(('--fold-field',), 'TPU',
          'Keep the field in the level-1 folded layout between transforms '
          '(split route, single device): drops 4 full-field reversal '

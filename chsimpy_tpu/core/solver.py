@@ -65,19 +65,7 @@ def resolve_fold_field(params: Parameters) -> bool:
 def resolve_transform(params: Parameters) -> str:
     """Resolve Parameters.transform_backend ('auto' allowed) to the
     concrete route for this run ('matmul' | 'split' | 'fft' | 'ozaki')."""
-    resolved = _resolve_transform(params)
-    if getattr(params, 'kernel_backend', 'xla') == 'pallas-fused':
-        if resolved != 'ozaki':
-            raise ValueError(
-                "--kernels pallas-fused is the fused-ozaki measurement "
-                "mode (float64 int8 transform); it requires the ozaki "
-                f"transform, got '{resolved}'")
-        if params.mesh_shape is not None:
-            raise ValueError(
-                "--kernels pallas-fused does not shard under --mesh "
-                "(the fused stage kernels run single-device; sharded "
-                "ozaki uses the GSPMD-partitioned XLA dots)")
-    return resolved
+    return _resolve_transform(params)
 
 
 def _resolve_transform(params: Parameters) -> str:

@@ -475,23 +475,17 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
         elif cfg.transform_backend == 'ozaki':
             sc = ozaki_ops.dct_scale(cfg.N)
             # under --kernels pallas the slicing chains fuse in one
-            # Pallas pass; pallas-fused additionally runs both int8
-            # stages as fused group-accumulation kernels (group planes
-            # stay in VMEM; stage 2 emits a double-single pair instead
-            # of the emulated-f64 Horner) — adoption decided by on-chip
-            # measurement (PERFORMANCE.md)
-            pslice = cfg.kernel_backend in ('pallas', 'pallas-fused')
-            pfused = cfg.kernel_backend == 'pallas-fused'
+            # Pallas pass (measured 3.0 vs 4.6 ms per N=4096 field,
+            # bit-identical slices — PERFORMANCE.md)
+            pslice = cfg.kernel_backend == 'pallas'
             hat_E = ozaki_ops.dct2_ozaki(EnergieEut, consts['Cs'],
                                          consts['CsT'], sc,
                                          constrain=constrain,
-                                         pallas_slice=pslice,
-                                         pallas_fused=pfused)
+                                         pallas_slice=pslice)
             hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
             U = ozaki_ops.idct2_ozaki(hat_U, consts['Cs'], consts['CsT'],
                                       sc, constrain=constrain,
-                                      pallas_slice=pslice,
-                                      pallas_fused=pfused)
+                                      pallas_slice=pslice)
         else:
             prec = cfg.mm_precision
             hat_E = dct_ops.dct2(EnergieEut, C, precision=prec,

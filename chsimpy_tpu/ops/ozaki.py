@@ -255,308 +255,6 @@ def _pair_groups_fused(a_stack, b_stack, max_pair=MAX_PAIR):
     return groups
 
 
-def _pair_plan(Sa, Sb, max_pair):
-    """Static pair schedule for the group-dot kernel: pairs (i, j) with
-    i + j <= max_pair, sorted by group k = i + j so every output group is
-    visited in one consecutive grid run (the VMEM accumulator then never
-    leaves the chip between pairs of a group)."""
-    # every group k <= max_pair must own at least one pair, else its
-    # output/scratch plane would flow downstream uninitialized (the XLA
-    # pairwise form fails loudly on the same misuse)
-    assert max_pair <= Sa + Sb - 2, (max_pair, Sa, Sb)
-    ia, jb, grp, first = [], [], [], []
-    for k in range(max_pair + 1):
-        i0, i1 = max(0, k - (Sb - 1)), min(k, Sa - 1)
-        for t, i in enumerate(range(i0, i1 + 1)):
-            ia.append(i)
-            jb.append(k - i)
-            grp.append(k)
-            first.append(1 if t == 0 else 0)
-    return (np.asarray(ia, np.int32), np.asarray(jb, np.int32),
-            np.asarray(grp, np.int32), np.asarray(first, np.int32))
-
-
-def _group_dot_kernel(ia_ref, jb_ref, grp_ref, first_ref,
-                      a_ref, b_ref, out_ref):
-    """One grid step: add a (tm, tk) x (tk, tn) int8 pair-dot tile into
-    the group's int32 output block.  The output block IS the accumulator
-    (int32 in, int32 out — no scratch): pallas keeps it in VMEM while
-    consecutive grid steps map to the same block, which the group-sorted
-    pair schedule guarantees."""
-    from jax.experimental import pallas as pl
-    p = pl.program_id(2)
-    kk = pl.program_id(3)
-
-    @pl.when((kk == 0) & (first_ref[p] == 1))
-    def _():
-        out_ref[0, :, :] = jnp.zeros((out_ref.shape[1], out_ref.shape[2]),
-                                     jnp.int32)
-
-    out_ref[0, :, :] += jax.lax.dot_general(
-        a_ref[0], b_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-
-
-def pair_group_dots_pallas(a_stack, b_stack, max_pair):
-    """Fused :func:`_pair_groups`: every slice product a_i @ b_j with
-    i + j <= max_pair, summed into int32 groups by k = i + j, with the
-    group accumulation living in VMEM instead of HBM.
-
-    The XLA pairwise form writes each of the 21/36 int32 pair products
-    (64 MB at N=4096) to HBM and reads them back for the group adds —
-    ~2/3 of the measured stage cost is that traffic (PERFORMANCE.md,
-    ozaki component profile).  Here the pair loop is a grid dimension
-    whose schedule is sorted by group (static scalar-prefetch arrays
-    drive the slice/group block indexing), so each group's output block
-    is revisited consecutively and written back exactly once.
-
-    Returns the groups as one [n_groups, M, N] int32 array (the callers'
-    Horner/renorm chains index it like the former list)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    from .pallas_kernels import _interpret, _tile
-
-    Sa, M, K = a_stack.shape
-    Sb, K2, N = b_stack.shape
-    assert K == K2
-    ia, jb, grp, first = _pair_plan(Sa, Sb, max_pair)
-    n_groups = max_pair + 1
-    tm, tn, tk = _tile(M, 512), _tile(N, 512), _tile(K, 512)
-    nk = K // tk
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(M // tm, N // tn, len(ia), nk),
-        in_specs=[
-            pl.BlockSpec((1, tm, tk),
-                         lambda mi, mj, p, kk, ia, jb, grp, first:
-                         (ia[p], mi, kk)),
-            pl.BlockSpec((1, tk, tn),
-                         lambda mi, mj, p, kk, ia, jb, grp, first:
-                         (jb[p], kk, mj)),
-        ],
-        out_specs=pl.BlockSpec((1, tm, tn),
-                               lambda mi, mj, p, kk, ia, jb, grp, first:
-                               (grp[p], mi, mj)),
-    )
-    return pl.pallas_call(
-        _group_dot_kernel,
-        out_shape=jax.ShapeDtypeStruct((n_groups, M, N), jnp.int32),
-        grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel',
-                                 'arbitrary', 'arbitrary')),
-        interpret=_interpret(),
-    )(jnp.asarray(ia), jnp.asarray(jb), jnp.asarray(grp),
-      jnp.asarray(first), a_stack, b_stack)
-
-
-def _group_horner_kernel(nk, plan, n_groups, a_ref, b_ref, out_ref,
-                         acc_ref):
-    """Stage-2 fusion: every pair dot accumulates into its group's int32
-    VMEM scratch plane; at the tile's last grid step the group ladder is
-    recombined into a double-single (hi, lo) f32 pair — the same ~49-bit
-    value class XLA's emulated-f64 Horner produces, without ever writing
-    the int32 groups to HBM.
-
-    Exactness: each int32 group splits as t + r with t = (g>>12)<<12
-    (<= 19 significant bits) and r in [0, 4096) — both convert to f32
-    exactly, and the 2^{-7(k+2)} weights are pure exponent shifts, so the
-    16 ladder terms are EXACT f32 numbers; they are summed with
-    branch-free 2Sum error compensation (the terms decay 128x per group,
-    the compensated sum's error is O(2^-48) relative — the double-single
-    representation floor)."""
-    from jax.experimental import pallas as pl
-    kk = pl.program_id(2)
-    _pair_dots_into_scratch(plan, a_ref, b_ref, acc_ref, kk)
-
-    @pl.when(kk == nk - 1)
-    def _():
-        hi = jnp.zeros_like(acc_ref[0], jnp.float32)
-        lo = jnp.zeros_like(acc_ref[0], jnp.float32)
-        for k in range(n_groups):
-            gk = acc_ref[k]
-            tw = jnp.int32(12)  # literals are i64 under jax_enable_x64
-            t = jax.lax.shift_left(
-                jax.lax.shift_right_arithmetic(gk, tw), tw)
-            r = gk - t
-            w = jnp.float32(2.0 ** (-7 * (k + 2)))
-            for term in (t.astype(jnp.float32) * w,
-                         r.astype(jnp.float32) * w):
-                # branch-free 2Sum: exact error of hi + term into e
-                s1 = hi + term
-                bb = s1 - hi
-                e = (hi - (s1 - bb)) + (term - bb)
-                hi = s1
-                lo = lo + e
-        # renormalize once so |lo| <= ulp(hi)/2
-        s1 = hi + lo
-        out_ref[0] = s1
-        out_ref[1] = lo - (s1 - hi)
-
-
-def pair_group_horner_pallas(a_stack, b_stack, max_pair):
-    """Fused stage-2: group pair dots AND the Horner recombination in one
-    Pallas pass.  Returns (hi, lo) f32 fields with hi + lo ~= sum_k
-    group_k * 2^{-7(k+2)} to ~2^-48 relative — the caller lifts the pair
-    to f64 (exact adds) and applies the f64 scale.
-
-    vs :func:`pair_group_dots_pallas` + :func:`_horner_f64`: the int32
-    group planes (8 x 64 MB at N=4096) never touch HBM, and the
-    emulated-f64 Horner chain disappears; the kernel writes two f32
-    planes instead."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    from .pallas_kernels import _interpret, _tile
-
-    a_stack = a_stack[:max_pair + 1]   # see pair_group_renorm_pallas
-    b_stack = b_stack[:max_pair + 1]
-    Sa, M, K = a_stack.shape
-    Sb, K2, N = b_stack.shape
-    assert K == K2
-    plan = _pair_plan(Sa, Sb, max_pair)
-    n_groups = max_pair + 1
-    # the (n_groups, tm, tn) int32 scratch is the VMEM budget driver:
-    # 8 * 256 * 512 * 4 = 4 MiB (+ whole-stack operand blocks + the
-    # double-buffered (2, tm, tn) f32 output) ~ 9 MiB total
-    tm, tn, tk = _tile(M, 256), _tile(N, 512), _tile(K, 256)
-    nk = K // tk
-    grid, in_specs = _fused_stage_specs(Sa, Sb, M, N, K, tm, tn, tk)
-
-    kern = functools.partial(_group_horner_kernel, nk, plan, n_groups)
-    out = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((2, M, N), jnp.float32),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((2, tm, tn),
-                               lambda mi, mj, kk: (jnp.int32(0), mi, mj),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n_groups, tm, tn), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
-        interpret=_interpret(),
-    )(a_stack, b_stack)
-    return out[0], out[1]
-
-
-def _pair_dots_into_scratch(plan, a_ref, b_ref, acc_ref, kk):
-    """Shared fused-stage body: at kk==0 every group's scratch plane is
-    initialized by its first pair's dot, later pairs and later kk steps
-    accumulate.  The pair plan is STATIC — the loop unrolls into 21/36
-    MXU dots per grid step with every operand already in VMEM (the slice
-    stacks ride in as whole-stack blocks, so each slice crosses HBM once
-    per output tile, not once per pair)."""
-    from jax.experimental import pallas as pl
-    for i, j, g, first in zip(*plan):
-        prod = jax.lax.dot_general(
-            a_ref[int(i)], b_ref[int(j)], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        if first:
-            @pl.when(kk == 0)
-            def _(g=int(g), prod=prod):
-                acc_ref[g] = prod
-
-            @pl.when(kk != 0)
-            def _(g=int(g), prod=prod):
-                acc_ref[g] += prod
-        else:
-            acc_ref[int(g)] += prod
-
-
-def _group_renorm_kernel(nk, plan, n_groups, n_out, q,
-                         a_ref, b_ref, out_ref, acc_ref):
-    """Stage-1 fusion: pair dots accumulate into per-group int32 VMEM
-    scratch; at the tile's last grid step the carry-renormalization chain
-    (:func:`_renorm_to_slices`, exact int32 shifts/masks) emits the int8
-    slot stack directly — the stage-1 group planes never touch HBM."""
-    from jax.experimental import pallas as pl
-    kk = pl.program_id(2)
-    _pair_dots_into_scratch(plan, a_ref, b_ref, acc_ref, kk)
-
-    @pl.when(kk == nk - 1)
-    def _():
-        c64 = jnp.int32(64)
-        c127 = jnp.int32(127)
-        c7 = jnp.int32(7)
-        carry = jnp.zeros_like(acc_ref[0])
-        low_slot = n_groups + q
-        for j in range(low_slot, -1, -1):
-            k = j - q - 1
-            if 0 <= k < n_groups:
-                carry = carry + acc_ref[k]
-            r = ((carry + c64) & c127) - c64
-            if j < n_out:
-                out_ref[j] = r.astype(jnp.int8)
-            carry = jax.lax.shift_right_arithmetic(carry - r, c7)
-
-
-def _fused_stage_specs(Sa, Sb, M, N, K, tm, tn, tk):
-    """Whole-stack operand BlockSpecs + grid for the fused stage kernels.
-    A rides in as its full [Sa, tm, tk] slice stack per tile (HBM cost:
-    each slice once per output tile instead of once per pair — the
-    per-pair grid form measured out at ~3.5x the operand traffic)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    grid = (M // tm, N // tn, K // tk)
-    in_specs = [
-        pl.BlockSpec((Sa, tm, tk),
-                     lambda mi, mj, kk: (jnp.int32(0), mi, kk),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((Sb, tk, tn),
-                     lambda mi, mj, kk: (jnp.int32(0), kk, mj),
-                     memory_space=pltpu.VMEM),
-    ]
-    return grid, in_specs
-
-
-def pair_group_renorm_pallas(a_stack, b_stack, max_pair,
-                             n_out, shift: int = RENORM_SHIFT):
-    """Fused stage-1: group pair dots AND the carry renormalization in
-    one Pallas pass, emitting the [n_out, M, N] int8 slot stack in the
-    :func:`_renorm_to_slices` convention (bit-identical — the renorm is
-    exact integer arithmetic either way)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    from .pallas_kernels import _interpret, _tile
-
-    assert shift % 7 == 0
-    q = shift // 7
-    # slices past index max_pair can never join a pair (i + j <= max_pair
-    # with both >= 0) — trim them from the whole-stack blocks
-    a_stack = a_stack[:max_pair + 1]
-    b_stack = b_stack[:max_pair + 1]
-    Sa, M, K = a_stack.shape
-    Sb, K2, N = b_stack.shape
-    assert K == K2
-    plan = _pair_plan(Sa, Sb, max_pair)
-    n_groups = max_pair + 1
-    # the renorm loop writes slots j <= n_groups + q only; larger n_out
-    # would leave uninitialized int8 planes (XLA zero-fills them instead)
-    assert n_out <= n_groups + q + 1, (n_out, n_groups, q)
-    # (tm, tn, tk) = (256, 512, 256): scratch 6*256*512*4 = 3 MiB +
-    # whole-stack operand blocks + the int8 output block ~ 7 MiB total
-    tm, tn, tk = _tile(M, 256), _tile(N, 512), _tile(K, 256)
-    nk = K // tk
-    grid, in_specs = _fused_stage_specs(Sa, Sb, M, N, K, tm, tn, tk)
-
-    kern = functools.partial(_group_renorm_kernel, nk, plan,
-                             n_groups, n_out, q)
-    return pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((n_out, M, N), jnp.int8),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((n_out, tm, tn),
-                               lambda mi, mj, kk: (jnp.int32(0), mi, mj),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n_groups, tm, tn), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
-        interpret=_interpret(),
-    )(a_stack, b_stack)
-
-
 def _dot_left(c, u):
     """c[i] @ u[j] for the left (row) transform pass."""
     return jax.lax.dot_general(c, u, (((1,), (0,)), ((), ())),
@@ -611,8 +309,7 @@ def _horner_f64(groups, dtype=jnp.float64):
 
 
 def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
-                 fused_groups=False, pallas_groups=False,
-                 pallas_fused=False):
+                 fused_groups=False):
     """M_row @ U @ M_col with both stages in int8/int32.
 
     Ms_row/Ms_col are [S,N,N] int8 slice stacks of the two constant
@@ -632,30 +329,16 @@ def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
     # in principle — but stage 2 only ever reads slots i <= STAGE2_PAIR
     # (its pair cutoff), so emission stops there
     n_slots = min(N_SLICES + q, STAGE2_PAIR + 1)
-    if pallas_fused:
-        t = pair_group_renorm_pallas(Ms_row, Us, STAGE1_PAIR, n_slots)
+    if fused_groups:
+        g1 = _pair_groups_fused(Ms_row, Us, max_pair=STAGE1_PAIR)
     else:
-        if pallas_groups:
-            g1 = pair_group_dots_pallas(Ms_row, Us, STAGE1_PAIR)
-        elif fused_groups:
-            g1 = _pair_groups_fused(Ms_row, Us, max_pair=STAGE1_PAIR)
-        else:
-            g1 = _pair_groups(Ms_row, Us, _dot_left, max_pair=STAGE1_PAIR)
-        t = _renorm_to_slices(g1, n_slices=n_slots)
-    if pallas_fused:
-        # stage-2 dots + Horner in one kernel: (hi, lo) f32 pair lifted
-        # to f64 with two exact converts and one add (the pair is
-        # non-overlapping after the kernel's final renormalization)
-        hi, lo = pair_group_horner_pallas(t, Ms_col, STAGE2_PAIR)
-        z = hi.astype(dtype) + lo.astype(dtype)
+        g1 = _pair_groups(Ms_row, Us, _dot_left, max_pair=STAGE1_PAIR)
+    t = _renorm_to_slices(g1, n_slices=n_slots)
+    if fused_groups:
+        g2 = _pair_groups_fused(t, Ms_col, max_pair=STAGE2_PAIR)
     else:
-        if pallas_groups:
-            g2 = pair_group_dots_pallas(t, Ms_col, STAGE2_PAIR)
-        elif fused_groups:
-            g2 = _pair_groups_fused(t, Ms_col, max_pair=STAGE2_PAIR)
-        else:
-            g2 = _pair_groups(t, Ms_col, _dot_right, max_pair=STAGE2_PAIR)
-        z = _horner_f64(g2, jnp.dtype(dtype).type)
+        g2 = _pair_groups(t, Ms_col, _dot_right, max_pair=STAGE2_PAIR)
+    z = _horner_f64(g2, jnp.dtype(dtype).type)
     # total scale: (m_scale * su * 2^RENORM_SHIFT) from stage 1 * m_scale
     z = z * (su * jnp.asarray(
         m_scale * m_scale * 2.0 ** RENORM_SHIFT, dtype))
@@ -665,8 +348,7 @@ def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
 
 
 def dct2_ozaki(U, Cs, CsT, m_scale, constrain=lambda x: x,
-               pallas_slice=False, fused_groups=False,
-               pallas_groups=False, pallas_fused=False):
+               pallas_slice=False, fused_groups=False):
     """Orthonormal 2-D DCT-II (C @ U @ C^T) via exact int8 passes.
     Matches :func:`chsimpy_tpu.ops.dct.dct2` to ~1e-15 relative.
 
@@ -678,14 +360,12 @@ def dct2_ozaki(U, Cs, CsT, m_scale, constrain=lambda x: x,
     N = U.shape[-1]
     m = jnp.mean(U)
     Y = _transform2d(U - m, Cs, CsT, m_scale, pallas_slice=pallas_slice,
-                     fused_groups=fused_groups, pallas_groups=pallas_groups,
-                     pallas_fused=pallas_fused)
+                     fused_groups=fused_groups)
     return Y.at[0, 0].add(m * N)
 
 
 def idct2_ozaki(X, Cs, CsT, m_scale, constrain=lambda x: x,
-                pallas_slice=False, fused_groups=False,
-                pallas_groups=False, pallas_fused=False):
+                pallas_slice=False, fused_groups=False):
     """Orthonormal 2-D DCT-III (C^T @ X @ C), inverse of
     :func:`dct2_ozaki`.  The DC coefficient is split off analytically
     (idct2(e00) = ones/N) before slicing."""
@@ -693,6 +373,5 @@ def idct2_ozaki(X, Cs, CsT, m_scale, constrain=lambda x: x,
     N = X.shape[-1]
     d = X[0, 0]
     u = _transform2d(X.at[0, 0].set(0.0), CsT, Cs, m_scale,
-                     pallas_slice=pallas_slice, fused_groups=fused_groups,
-                     pallas_groups=pallas_groups, pallas_fused=pallas_fused)
+                     pallas_slice=pallas_slice, fused_groups=fused_groups)
     return u + d / N

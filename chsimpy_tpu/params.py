@@ -86,9 +86,7 @@ class Parameters:
                                       # route is split on one device with
                                       # XLA kernels (measured +3.6% e2e at
                                       # N=4096 f32, capture_r3)
-    kernel_backend: str = 'xla'       # xla | pallas | pallas-fused
-                                      # (pallas-fused: fused ozaki stage
-                                      # kernels, float64 measurement mode)
+    kernel_backend: str = 'xla'       # xla | pallas
     # MXU pass count for f32 DCT matmuls; None resolves to 'high' in float32
     # mode (measured: same trace quality as 'highest' at ~1.8x speed) and
     # 'highest' in float64 mode

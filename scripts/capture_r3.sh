@@ -10,8 +10,7 @@
 #   2. on-chip golden replay (f64 contract on the chip)
 #   3. f32 canonical stop-step (the _sum2_f64 stabilization: expect 1674)
 #   4. f64 canonical N=512 validation run
-#   5. fused-ozaki decision battery (scripts/measure_fused_r29.sh)
-#   6. f32 transform headroom baseline (dct_bench)
+#   5. f32 transform headroom baseline (dct_bench)
 set -u
 set -o pipefail
 cd "$(dirname "$0")/.."
@@ -87,15 +86,15 @@ run python -m chsimpy_tpu -N 512 -n 5000 --no-gui \
 run python -m chsimpy_tpu -N 512 -n 5000 --no-gui \
     --precision float64 -f r3f64stop
 
-# 5. fused-ozaki ship-or-kill battery
-run bash scripts/measure_fused_r29.sh "$LOG.fused"
+# (the round-3 fused-ozaki ship-or-kill battery ran 2026-08-19 — killed;
+# record in artifacts/r3/capture_r3_fused.log and PERFORMANCE.md)
 
-# 6. f32 transform headroom: fold routes vs the production perm routes
+# 5. f32 transform headroom: fold routes vs the production perm routes
 #    (substring filter: all split-perm/fold variants + the matmul anchor)
 run python -m chsimpy_tpu.benchmarks.dct_bench \
     --sizes 2048,4096 --dtypes float32 --routes perm,fold,matmul --reps 4
 
-# 7. end-to-end --fold-field decision run at N=4096 f32 (vs the default)
+# 6. end-to-end --fold-field decision run at N=4096 f32 (vs the default)
 for F in "" "--fold-field"; do
     run python -m chsimpy_tpu.benchmarks.bench -N 4096 -n 256 -R 2 -w 1 \
         --warmup-ntmax 64 --no-gui --precision float32 $F \

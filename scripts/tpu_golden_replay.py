@@ -35,12 +35,9 @@ def main():
                          "matmul); default: the solver's auto choice")
     ap.add_argument('--goldens', default='n64_lcg_200,n128_uniform_300')
     ap.add_argument('--kernels', default=None,
-                    choices=['xla', 'pallas', 'pallas-fused'],
-                    help="force the kernel backend (pallas-fused implies "
-                         "--transform ozaki)")
+                    choices=['xla', 'pallas'],
+                    help="force the kernel backend")
     args = ap.parse_args()
-    if args.kernels == 'pallas-fused' and not args.transform:
-        args.transform = 'ozaki'
 
     import jax
     import chsimpy_tpu as ct

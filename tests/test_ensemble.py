@@ -245,35 +245,26 @@ def test_experiment_live_view_requires_update_every():
 
 def test_ensemble_ozaki_matches_single_runs():
     """The int8 ozaki transform composes with the vmapped ensemble
-    bit-exactly (integer stages are vmap-invariant), for both the XLA
-    pairwise form and the fused Pallas kernels (interpret mode)."""
+    bit-exactly (integer stages are vmap-invariant)."""
     from chsimpy_tpu.core.solver import Solver
 
-    def params(kernels):
-        p = base_params(N=32, ntmax=10, precision='float64',
-                        transform_backend='ozaki')
-        p.kernel_backend = kernels
-        return p
+    def params():
+        return base_params(N=32, ntmax=10, precision='float64',
+                           transform_backend='ozaki')
 
-    p = params('xla')
+    p = params()
     A0 = p.func_A0(p.temp)
     A1 = p.func_A1(p.temp)
     pairs = np.array([[A0, A1], [A0 * 1.001, A1 * 0.999]])
 
-    ens = EnsembleSolver(params('xla'), pairs)
+    ens = EnsembleSolver(params(), pairs)
     ens.prepare()
     sols = ens.solve_or_resume(10)
-    s = Solver(params('xla'))
+    s = Solver(params())
     s.prepare()
     single = s.solve_or_resume(10)
     np.testing.assert_array_equal(np.asarray(sols[0].U),
                                   np.asarray(single.U))
-
-    fused = EnsembleSolver(params('pallas-fused'), pairs)
-    fused.prepare()
-    fsols = fused.solve_or_resume(10)
-    for a, b in zip(sols, fsols):
-        np.testing.assert_array_equal(np.asarray(a.U), np.asarray(b.U))
 
 
 def test_ensemble_fold_field_matches_natural():

@@ -240,118 +240,3 @@ def test_trimmed_slice_emission_is_prefix():
     t10 = np.asarray(ozaki._renorm_to_slices(groups, n_slices=10))
     t8 = np.asarray(ozaki._renorm_to_slices(groups, n_slices=8))
     np.testing.assert_array_equal(t10[:8], t8)
-
-
-def test_pair_group_dots_pallas_matches_pairwise():
-    """The VMEM group-accumulation kernel (interpret mode on CPU) equals
-    the pairwise XLA group sums exactly, on both stage shapes."""
-    rng = np.random.default_rng(14)
-    A = jnp.asarray(rng.integers(-64, 65, (6, 64, 64)), jnp.int8)
-    B = jnp.asarray(rng.integers(-64, 65, (8, 64, 64)), jnp.int8)
-    for max_pair in (ozaki.STAGE1_PAIR, ozaki.STAGE2_PAIR):
-        ref = ozaki._pair_groups(A, B, ozaki._dot_left, max_pair=max_pair)
-        got = ozaki.pair_group_dots_pallas(A, B, max_pair)
-        assert got.shape[0] == max_pair + 1
-        for k, g in enumerate(ref):
-            np.testing.assert_array_equal(np.asarray(got[k]),
-                                          np.asarray(g))
-
-
-def test_pallas_groups_transform_bitmatch():
-    """dct2/idct2 with pallas_groups=True are bit-identical to the
-    pairwise route (same int8 products, same int32 accumulation)."""
-    rng = np.random.default_rng(15)
-    x = jnp.asarray(0.875 + 0.01 * (rng.random((64, 64)) - 0.5),
-                    jnp.float64)
-    Cs, CsT, sc = ozaki.dct_slices(64)
-    ya = ozaki.dct2_ozaki(x, Cs, CsT, sc)
-    yb = ozaki.dct2_ozaki(x, Cs, CsT, sc, pallas_groups=True)
-    np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
-    ua = ozaki.idct2_ozaki(ya, Cs, CsT, sc)
-    ub = ozaki.idct2_ozaki(ya, Cs, CsT, sc, pallas_groups=True)
-    np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))
-
-
-def test_pallas_fused_stage2_error_class():
-    """The fused stage-2 kernel (group dots + double-single Horner in
-    VMEM) stays at the pairwise route's error class: the (hi, lo) f32
-    recombination carries ~49 bits, the same as XLA's emulated-f64
-    Horner on the chip."""
-    rng = np.random.default_rng(16)
-    for N in (64, 128):
-        Cs, CsT, sc = ozaki.dct_slices(N)
-        for field in (0.875 + 0.01 * (rng.random((N, N)) - 0.5),
-                      rng.standard_normal((N, N))):
-            x = jnp.asarray(field, jnp.float64)
-            ya = ozaki.dct2_ozaki(x, Cs, CsT, sc)
-            yb = ozaki.dct2_ozaki(x, Cs, CsT, sc, pallas_fused=True)
-            rel = float(jnp.max(jnp.abs(ya - yb))
-                        / jnp.max(jnp.abs(ya)))
-            assert rel < 2.0 ** -44, rel
-            ua = ozaki.idct2_ozaki(yb, Cs, CsT, sc, pallas_fused=True)
-            ua0 = ozaki.idct2_ozaki(ya, Cs, CsT, sc)
-            r_f = float(jnp.max(jnp.abs(ua - x)))
-            r_0 = float(jnp.max(jnp.abs(ua0 - x)))
-            # same roundtrip error class (within 4x of the standard)
-            assert r_f <= 4.0 * max(r_0, 1e-16), (r_f, r_0)
-
-
-def test_pair_group_renorm_pallas_bitmatch():
-    """The fused stage-1 kernel (group dots + carry renorm in VMEM) is
-    bit-identical to pairwise dots + _renorm_to_slices — the renorm is
-    exact integer arithmetic either way."""
-    rng = np.random.default_rng(17)
-    A = jnp.asarray(rng.integers(-64, 65, (8, 64, 64)), jnp.int8)
-    B = jnp.asarray(rng.integers(-64, 65, (6, 64, 64)), jnp.int8)
-    q = ozaki.RENORM_SHIFT // 7
-    n_out = min(ozaki.N_SLICES + q, ozaki.STAGE2_PAIR + 1)
-    ref = ozaki._renorm_to_slices(
-        ozaki._pair_groups(A, B, ozaki._dot_left,
-                           max_pair=ozaki.STAGE1_PAIR),
-        n_slices=n_out)
-    got = ozaki.pair_group_renorm_pallas(A, B, ozaki.STAGE1_PAIR, n_out)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
-
-
-def test_pallas_fused_kernel_backend_guards():
-    """--kernels pallas-fused is the fused-ozaki measurement mode: it
-    requires the ozaki transform and rejects --mesh."""
-    p = ct.Parameters()
-    p.precision = 'float64'
-    p.transform_backend = 'ozaki'
-    p.kernel_backend = 'pallas-fused'
-    assert ct.core.solver.resolve_transform(p) == 'ozaki'
-    p2 = ct.Parameters()
-    p2.kernel_backend = 'pallas-fused'   # auto-resolves to a non-ozaki
-    with pytest.raises(ValueError, match='pallas-fused'):
-        ct.core.solver.resolve_transform(p2)
-    p3 = ct.Parameters()
-    p3.precision = 'float64'
-    p3.transform_backend = 'ozaki'
-    p3.kernel_backend = 'pallas-fused'
-    p3.mesh_shape = (2, 2)
-    with pytest.raises(ValueError, match='mesh'):
-        ct.core.solver.resolve_transform(p3)
-
-
-def test_pallas_fused_solver_matches_xla_route():
-    """A short solve under --kernels pallas-fused equals the plain ozaki
-    route (interpret mode; the fused kernels' integer stages are exact
-    and the double-single recombination sits below the f64 noise of 30
-    steps)."""
-    def run(kernels):
-        p = ct.Parameters()
-        p.N = 32
-        p.ntmax = 20
-        p.precision = 'float64'
-        p.transform_backend = 'ozaki'
-        p.kernel_backend = kernels
-        p.kappa_tilde = 3e-4
-        p.no_gui = True
-        p.update_every = None
-        s = ct.core.solver.Solver(p)
-        s.prepare()
-        sol = s.solve_or_resume(20)
-        return np.asarray(sol.U)
-    np.testing.assert_allclose(run('pallas-fused'), run('xla'),
-                               rtol=0, atol=1e-11)
