@@ -91,7 +91,7 @@ def _roundtrip_fns(N, dtype):
     # between inverse and forward (see ops/dct.py fold1) — the round-3
     # headroom candidate; measures the in-loop cost exactly because the
     # chained roundtrips stay in the folded layout throughout
-    for lv in (2, 4):
+    for lv in (2, 3, 4, 5):
         tree_f = dct_ops.split_tree(N, lv, dtype)
 
         def body_fold(x, C, tree):

@@ -101,13 +101,19 @@ class StepConfig:
     # (split route only): the four level-1 reversal relayouts per step
     # disappear; U trajectory stays bit-identical (pure data layout),
     # stats regroup their slice sums (ULP-order trace differences).
-    # Opt-in pending the on-chip measurement (dct_bench splitXpermfold)
+    # Default where it composes since round 3 (+3.6% e2e measured;
+    # resolve_fold_field in core/solver.py decides)
     fold_field: bool = False
 
     @property
     def split_levels_resolved(self) -> int:
         if self.split_levels is not None:
             return self.split_levels
+        if self.N >= 4096 and self.N % 32 == 0 and self.fold_field:
+            # under the folded field layout one more fold level pays:
+            # splitXpermfold chip sweep (round 3) N=4096 lv4 4.44 /
+            # lv5 4.23 ms/rt, N=8192 lv4 ~33.6 / lv5 31.7
+            return 5
         if self.N >= 4096 and self.N % 16 == 0:
             return 4
         if self.N >= 2048 and self.N % 8 == 0:
