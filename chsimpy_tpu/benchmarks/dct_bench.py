@@ -140,6 +140,18 @@ def _roundtrip_fns(N, dtype):
                 Cs, CsT, sc, pallas_slice=True)
         fns['ozaki-int8-pslice'] = chain(body_oz_ps, Cs, CsT)
 
+        # level-1 folded blocks: half the int8 MACs of ozaki-int8
+        fsl = ozaki.dct_fold_slices(N)
+        fstacks = (fsl['CeS'], fsl['CoS'], fsl['CeTS'], fsl['CoTS'])
+        fsc = fsl['scale']
+
+        def body_oz_fold(x, C, CeS, CoS, CeTS, CoTS):
+            fs = {'CeS': CeS, 'CoS': CoS, 'CeTS': CeTS, 'CoTS': CoTS,
+                  'scale': fsc}
+            return ozaki.idct2_ozaki_fold(
+                ozaki.dct2_ozaki_fold(x, fs), fs)
+        fns['ozaki-int8-fold'] = chain(body_oz_fold, *fstacks)
+
         def body_oz_fg(x, C, Cs, CsT):
             # measured negative kept reproducible (PERFORMANCE.md): the
             # multi-contracting-dim group dots lose to the pairwise form

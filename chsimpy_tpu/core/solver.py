@@ -210,6 +210,11 @@ class Solver:
             # have fold-aware slicing), so it forces fast_stats
             fast_stats=(jax.default_backend() == 'tpu') or fold_field,
             fold_field=fold_field,
+            # folded int8 blocks halve the transform MACs on one device
+            # (measured 42.3 vs 48.5 ms/rt at N=4096 — PERFORMANCE.md);
+            # the sharded route keeps the GSPMD-partitioned unfolded dots
+            ozaki_fold=(resolve_transform(params) == 'ozaki'
+                        and params.mesh_shape is None and N % 2 == 0),
         )
 
         # optional 2-D grid sharding over a device mesh

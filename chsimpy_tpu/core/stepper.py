@@ -104,6 +104,12 @@ class StepConfig:
     # Default where it composes since round 3 (+3.6% e2e measured;
     # resolve_fold_field in core/solver.py decides)
     fold_field: bool = False
+    # level-1 folded blocks for the ozaki int8 transform: half the int8
+    # MACs per stage (measured 42.3 vs 48.5 ms/rt at N=4096 f64 on chip),
+    # natural layout in/out.  Single-device only (the solver sets it when
+    # transform == 'ozaki' and no grid mesh; sharded ozaki keeps the
+    # GSPMD-partitioned unfolded dots)
+    ozaki_fold: bool = False
 
     @property
     def split_levels_resolved(self) -> int:
@@ -145,14 +151,21 @@ def make_consts(cfg: StepConfig, delt: float,
     A0 = cfg.A0 if A0 is None else A0
     A1 = cfg.A1 if A1 is None else A1
     kt = cfg.kappa_tilde if kappa_tilde is None else kappa_tilde
+    _z8 = jnp.zeros((0,), jnp.int8)
+    fold_stacks = {k: _z8 for k in ('CeS', 'CoS', 'CeTS', 'CoTS')}
     if cfg.transform_backend == 'ozaki':
         # int8 slice stacks of C / C^T instead of the f64 matrix (saves
         # the 8x-larger emulated-f64 upload; the route never touches C)
         C = jnp.zeros((0,), dtype)
-        Cs, CsT, _ = ozaki_ops.dct_slices(cfg.N)
+        if cfg.ozaki_fold:
+            Cs = CsT = _z8
+            fs = ozaki_ops.dct_fold_slices(cfg.N)
+            fold_stacks = {k: fs[k] for k in fold_stacks}
+        else:
+            Cs, CsT, _ = ozaki_ops.dct_slices(cfg.N)
     else:
         C = dct_ops.dct_matrix(cfg.N, dtype)
-        Cs = CsT = jnp.zeros((0,), jnp.int8)
+        Cs = CsT = _z8
     leig = coeffs_ops.eigenvalues(cfg.N, dtype)
     if cfg.transform_backend == 'split':
         # the split route works in a PERMUTED spectral basis (block order
@@ -171,12 +184,14 @@ def make_consts(cfg: StepConfig, delt: float,
             'CHeig': CHeig.astype(dtype), 'Seig': Seig.astype(dtype),
             'A0': jnp.asarray(A0, jnp.float64),
             'A1': jnp.asarray(A1, jnp.float64),
-            'kappa_tilde': jnp.asarray(kt, jnp.float64)}
+            'kappa_tilde': jnp.asarray(kt, jnp.float64),
+            **fold_stacks}
 
 
 CONSTS_BATCH_AXES = {'C': None, 'Cs': None, 'CsT': None, 'leig': None,
                      'tree': None, 'CHeig': 0,
-                     'Seig': None, 'A0': 0, 'A1': 0, 'kappa_tilde': 0}
+                     'Seig': None, 'A0': 0, 'A1': 0, 'kappa_tilde': 0,
+                     'CeS': None, 'CoS': None, 'CeTS': None, 'CoTS': None}
 
 
 def _nonlinear_term(cfg: StepConfig, consts, U, mesh=None):
@@ -479,19 +494,31 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
             hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
             U = dct_ops.idct2_fft(hat_U, constrain=constrain)
         elif cfg.transform_backend == 'ozaki':
-            sc = ozaki_ops.dct_scale(cfg.N)
             # under --kernels pallas the slicing chains fuse in one
             # Pallas pass (measured 3.0 vs 4.6 ms per N=4096 field,
             # bit-identical slices — PERFORMANCE.md)
             pslice = cfg.kernel_backend == 'pallas'
-            hat_E = ozaki_ops.dct2_ozaki(EnergieEut, consts['Cs'],
-                                         consts['CsT'], sc,
-                                         constrain=constrain,
-                                         pallas_slice=pslice)
-            hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
-            U = ozaki_ops.idct2_ozaki(hat_U, consts['Cs'], consts['CsT'],
-                                      sc, constrain=constrain,
-                                      pallas_slice=pslice)
+            if cfg.ozaki_fold:
+                fs = {k: consts[k] for k in ('CeS', 'CoS', 'CeTS', 'CoTS')}
+                fs['scale'] = ozaki_ops.dct_fold_scale(cfg.N)
+                hat_E = ozaki_ops.dct2_ozaki_fold(EnergieEut, fs,
+                                                  constrain=constrain,
+                                                  pallas_slice=pslice)
+                hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
+                U = ozaki_ops.idct2_ozaki_fold(hat_U, fs,
+                                               constrain=constrain,
+                                               pallas_slice=pslice)
+            else:
+                sc = ozaki_ops.dct_scale(cfg.N)
+                hat_E = ozaki_ops.dct2_ozaki(EnergieEut, consts['Cs'],
+                                             consts['CsT'], sc,
+                                             constrain=constrain,
+                                             pallas_slice=pslice)
+                hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
+                U = ozaki_ops.idct2_ozaki(hat_U, consts['Cs'],
+                                          consts['CsT'], sc,
+                                          constrain=constrain,
+                                          pallas_slice=pslice)
         else:
             prec = cfg.mm_precision
             hat_E = dct_ops.dct2(EnergieEut, C, precision=prec,
@@ -635,6 +662,12 @@ def make_entry_dct2(cfg: StepConfig):
     if cfg.transform_backend == 'fft':
         return lambda U, consts: dct_ops.dct2_fft(U)
     if cfg.transform_backend == 'ozaki':
+        if cfg.ozaki_fold:
+            def entry_fold(U, consts):
+                fs = {k: consts[k] for k in ('CeS', 'CoS', 'CeTS', 'CoTS')}
+                fs['scale'] = ozaki_ops.dct_fold_scale(cfg.N)
+                return ozaki_ops.dct2_ozaki_fold(U, fs)
+            return entry_fold
         return lambda U, consts: ozaki_ops.dct2_ozaki(
             U, consts['Cs'], consts['CsT'], ozaki_ops.dct_scale(cfg.N))
     return lambda U, consts: dct_ops.dct2(U, consts['C'])

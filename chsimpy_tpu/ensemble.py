@@ -151,6 +151,11 @@ class EnsembleSolver:
             # have fold-aware slicing), so it forces fast_stats
             fast_stats=(jax.default_backend() == 'tpu') or fold_field,
             fold_field=fold_field,
+            # folded int8 blocks are member-local ops: they compose with
+            # the vmapped batch and ens-axis sharding, but not with grid
+            # sharding of the member fields (same rule as the solver)
+            ozaki_fold=(solver_mod.resolve_transform(params) == 'ozaki'
+                        and not _grid_sharded and N % 2 == 0),
         )
 
         self.chunk_size = max(1, int(params.chunk_size))
@@ -201,7 +206,8 @@ class EnsembleSolver:
                 'CHeig': CHeig_b, 'Seig': base['Seig'],
                 'A0': jnp.asarray(self.A0s),
                 'A1': jnp.asarray(self.A1s),
-                'kappa_tilde': kts}
+                'kappa_tilde': kts,
+                **{k: base[k] for k in ('CeS', 'CoS', 'CeTS', 'CoTS')}}
 
     def _shard(self, tree):
         if self.mesh is None:

@@ -76,15 +76,19 @@ RENORM_SHIFT = 14   # static headroom (2 slice slots) absorbing the 1-D
                     # N/(16 sqrt 2) <= 2^12 i.e. every N <= 92681
 
 
-def slice_matrix_host(M: np.ndarray, n_slices: int = N_SLICES):
+def slice_matrix_host(M: np.ndarray, n_slices: int = N_SLICES,
+                      scale: float = None):
     """Exact fixed-point slicing of a constant f64 matrix on the host.
 
     Returns ``(slices, scale)`` with ``M = scale * sum_k slices[k] *
     2^{-7(k+1)}`` (+ a < 2^{-7 n_slices} scale tail), slices int8 in
-    [-64, 64].  scale is a power of two with |M|/scale < 0.25."""
-    amax = float(np.max(np.abs(M)))
-    e = int(np.ceil(np.log2(amax))) + 2 if amax > 0 else 0
-    scale = float(2.0 ** e)
+    [-64, 64].  scale is a power of two with |M|/scale < 0.25; pass an
+    explicit ``scale`` to share it across matrices whose int32 product
+    groups must be added exactly (the folded route's e/o blocks)."""
+    if scale is None:
+        amax = float(np.max(np.abs(M)))
+        e = int(np.ceil(np.log2(amax))) + 2 if amax > 0 else 0
+        scale = float(2.0 ** e)
     u = np.asarray(M, np.float64) / scale
     out = []
     for _ in range(n_slices):
@@ -113,6 +117,51 @@ def dct_slices(N: int):
 def dct_scale(N: int) -> float:
     """Static (host) scale of the DCT matrix slice set for grid size N."""
     return _dct_slices_np(N)[2]
+
+
+@functools.lru_cache(maxsize=8)
+def _dct_fold_slices_np(N: int):
+    """Host-cached int8 slice sets of the level-1 folded DCT blocks.
+
+    The DCT-II matrix's cosine symmetry C[k, N-1-n] = (-1)^k C[k, n]
+    splits every contraction with C into two half-size ones (the same
+    identity the f32 split route exploits, ops/dct.py):
+
+        (C @ x)[even k] = Ce @ (x_top + flip(x_bot)),   Ce = C[0::2, :N/2]
+        (C @ x)[odd  k] = Co @ (x_top - flip(x_bot)),   Co = C[1::2, :N/2]
+
+    All four block stacks (Ce, Co and their transposes) share ONE slice
+    scale: the folded transforms add int32 product groups ACROSS the e/o
+    branches (inverse assembly), which is exact only at a common scale.
+    max|Ce| <= max|Co| (Ce's extra k=0 row is the smallest-magnitude
+    one), so the shared scale costs Ce no slice depth in practice."""
+    C = _dct_matrix_np(N)
+    h = N // 2
+    Ce = np.ascontiguousarray(C[0::2, :h])
+    Co = np.ascontiguousarray(C[1::2, :h])
+    amax = max(float(np.max(np.abs(Ce))), float(np.max(np.abs(Co))))
+    e = int(np.ceil(np.log2(amax))) + 2 if amax > 0 else 0
+    sc = float(2.0 ** e)
+    CeS, _ = slice_matrix_host(Ce, scale=sc)
+    CoS, _ = slice_matrix_host(Co, scale=sc)
+    return (CeS, CoS, [s.T.copy() for s in CeS], [s.T.copy() for s in CoS],
+            sc)
+
+
+def dct_fold_slices(N: int):
+    """Device int8 slice stacks ([S, N/2, N/2]) of the folded DCT blocks
+    Ce, Co, Ce^T, Co^T plus their shared scale."""
+    CeS, CoS, CeTS, CoTS, sc = _dct_fold_slices_np(N)
+    return {'CeS': jnp.asarray(np.stack(CeS)),
+            'CoS': jnp.asarray(np.stack(CoS)),
+            'CeTS': jnp.asarray(np.stack(CeTS)),
+            'CoTS': jnp.asarray(np.stack(CoTS)),
+            'scale': sc}
+
+
+def dct_fold_scale(N: int) -> float:
+    """Static (host) shared scale of the folded DCT block slice sets."""
+    return _dct_fold_slices_np(N)[4]
 
 
 def _slice_chain_f32(v, n_slices):
@@ -374,4 +423,119 @@ def idct2_ozaki(X, Cs, CsT, m_scale, constrain=lambda x: x,
     d = X[0, 0]
     u = _transform2d(X.at[0, 0].set(0.0), CsT, Cs, m_scale,
                      pallas_slice=pallas_slice, fused_groups=fused_groups)
+    return u + d / N
+
+
+# ---------------------------------------------------------------------------
+# Level-1 folded ozaki transforms (round 3): the DCT cosine symmetry halves
+# the int8 MAC count of BOTH stages (the same fold the f32 split route
+# uses), with every e/o bridge kept exact in int32 — group planes from the
+# two branches share the matrix slice scale (see _dct_fold_slices_np), so
+# their sums/differences are exact integer arithmetic.  Natural layout in
+# and out: a drop-in replacement for dct2_ozaki/idct2_ozaki on one device.
+#
+# Bound bookkeeping vs the unfolded route: a folded dot contracts over N/2
+# (<= 65*65*N/2 per dot) and the e/o group adds double that — the int32
+# group bound is unchanged (33800*N < 2^31 for N <= 63550); the renorm
+# headroom |V| < 2^{RENORM_SHIFT-1} absorbs the doubled fold values up to
+# N/(8 sqrt 2) <= 2^13, i.e. every N <= 46340.
+# ---------------------------------------------------------------------------
+
+def _interleave(a, b, axis):
+    """Riffle a and b along ``axis``: result[2i] = a[i], result[2i+1] =
+    b[i] (the natural order of even/odd spectral indices)."""
+    stacked = jnp.stack([a, b], axis=axis + 1)
+    shape = list(a.shape)
+    shape[axis] *= 2
+    return stacked.reshape(shape)
+
+
+def _n_slots():
+    q = RENORM_SHIFT // 7
+    return min(N_SLICES + q, STAGE2_PAIR + 1)
+
+
+def dct2_ozaki_fold(U, fs, constrain=lambda x: x, pallas_slice=False):
+    """Orthonormal 2-D DCT-II via folded int8 passes (half the MACs of
+    :func:`dct2_ozaki`, same accuracy class).  ``fs`` is
+    :func:`dct_fold_slices`(N)."""
+    U = constrain(U)
+    dtype = U.dtype
+    N = U.shape[-1]
+    h = N // 2
+    m = jnp.mean(U)
+    X = U - m
+    # row fold (f64: two VPU adds per element)
+    u = X[:h] + X[h:][::-1]
+    v = X[:h] - X[h:][::-1]
+    n_field = min(N_SLICES, STAGE1_PAIR + 1)
+    sl = slice_field_pallas if pallas_slice else slice_field
+    us, su = sl(u, n_field)
+    vs, sv = sl(v, n_field)
+    # stage 1: T_even = Ce @ u, T_odd = Co @ v — half-size contractions
+    ge = _pair_groups(fs['CeS'], us, _dot_left, max_pair=STAGE1_PAIR)
+    go = _pair_groups(fs['CoS'], vs, _dot_left, max_pair=STAGE1_PAIR)
+
+    # column fold at the int32 group level (linear, exact)
+    def colfold(gs):
+        p = [g[:, :h] + g[:, h:][:, ::-1] for g in gs]
+        q = [g[:, :h] - g[:, h:][:, ::-1] for g in gs]
+        return p, q
+
+    pe, qe = colfold(ge)
+    po, qo = colfold(go)
+    ns = _n_slots()
+    # stage 2 per quarter: Z[eo-rows, eo-cols]; row-block scales (su/sv)
+    # stay separable because the column pass never mixes rows
+    quarters = []
+    for grp, mcol, s in ((pe, 'CeTS', su), (qe, 'CoTS', su),
+                         (po, 'CeTS', sv), (qo, 'CoTS', sv)):
+        t = _renorm_to_slices(grp, n_slices=ns)
+        g2 = _pair_groups(t, fs[mcol], _dot_right, max_pair=STAGE2_PAIR)
+        z = _horner_f64(g2, jnp.dtype(dtype).type)
+        quarters.append(z * (s * jnp.asarray(
+            fs['scale'] * fs['scale'] * 2.0 ** RENORM_SHIFT, dtype)))
+    zee, zeo, zoe, zoo = quarters
+    Y = _interleave(_interleave(zee, zeo, axis=1),
+                    _interleave(zoe, zoo, axis=1), axis=0)
+    Y = jax.lax.optimization_barrier(Y)
+    return Y.at[0, 0].add(m * N)
+
+
+def idct2_ozaki_fold(X, fs, constrain=lambda x: x, pallas_slice=False):
+    """Orthonormal 2-D DCT-III, inverse of :func:`dct2_ozaki_fold`
+    (folded int8 passes, natural layout in/out).
+
+    The spectral operand is sliced ONCE at a global scale, so the e/o
+    row/column sub-stacks share it and the fold assemblies (a+b, a-b)
+    stay exact int32 adds."""
+    X = constrain(X)
+    dtype = X.dtype
+    N = X.shape[-1]
+    h = N // 2
+    d = X[0, 0]
+    n_field = min(N_SLICES, STAGE1_PAIR + 1)
+    sl = slice_field_pallas if pallas_slice else slice_field
+    ys, sy = sl(X.at[0, 0].set(0.0), n_field)
+    # stage 1: x = C^T y; x_top = Ce^T yE + Co^T yO,
+    #          x_bot = flip(Ce^T yE - Co^T yO)
+    yE = ys[:, 0::2, :]
+    yO = ys[:, 1::2, :]
+    a = _pair_groups(fs['CeTS'], yE, _dot_left, max_pair=STAGE1_PAIR)
+    b = _pair_groups(fs['CoTS'], yO, _dot_left, max_pair=STAGE1_PAIR)
+    wg = [jnp.concatenate([x + y, (x - y)[::-1, :]], axis=0)
+          for x, y in zip(a, b)]
+    t = _renorm_to_slices(wg, n_slices=_n_slots())
+    # stage 2: u = w C; u_left = wE Ce + wO Co, u_right = flip(wE Ce - wO Co)
+    wE = t[:, :, 0::2]
+    wO = t[:, :, 1::2]
+    gE = _pair_groups(wE, fs['CeS'], _dot_right, max_pair=STAGE2_PAIR)
+    gO = _pair_groups(wO, fs['CoS'], _dot_right, max_pair=STAGE2_PAIR)
+    gl = [x + y for x, y in zip(gE, gO)]
+    gr = [x - y for x, y in zip(gE, gO)]
+    f = sy * jnp.asarray(fs['scale'] * fs['scale'] * 2.0 ** RENORM_SHIFT,
+                         dtype)
+    ul = _horner_f64(gl, jnp.dtype(dtype).type) * f
+    ur = _horner_f64(gr, jnp.dtype(dtype).type)[:, ::-1] * f
+    u = jax.lax.optimization_barrier(jnp.concatenate([ul, ur], axis=1))
     return u + d / N

@@ -146,6 +146,49 @@ def test_solver_trajectory_adaptive():
     np.testing.assert_allclose(ta[:, 8], tb[:, 8], rtol=1e-7)   # delt
 
 
+@pytest.mark.parametrize('N', [32, 64, 256])
+def test_dct2_ozaki_fold_matches_unfolded(N):
+    """The level-1 folded transforms stay in the unfolded route's accuracy
+    class on both operand classes (the e/o int32 bridges are exact; only
+    the f64 row fold and per-branch slice scales differ)."""
+    rng = np.random.default_rng(N)
+    Cs, CsT, sc = ozaki.dct_slices(N)
+    fs = ozaki.dct_fold_slices(N)
+    for field in (0.875 + 0.01 * (rng.random((N, N)) - 0.5),
+                  rng.standard_normal((N, N))):
+        x = jnp.asarray(field, jnp.float64)
+        y0 = ozaki.dct2_ozaki(x, Cs, CsT, sc)
+        y1 = ozaki.dct2_ozaki_fold(x, fs)
+        ref = scipy.fftpack.dctn(np.asarray(x), norm='ortho')
+        e0 = float(np.max(np.abs(np.asarray(y0) - ref)))
+        e1 = float(np.max(np.abs(np.asarray(y1) - ref)))
+        assert e1 <= 4.0 * max(e0, 1e-16), (e1, e0)
+        u1 = np.asarray(ozaki.idct2_ozaki_fold(y1, fs))
+        u0 = np.asarray(ozaki.idct2_ozaki(y0, Cs, CsT, sc))
+        r0 = float(np.max(np.abs(u0 - field)))
+        r1 = float(np.max(np.abs(u1 - field)))
+        assert r1 <= 4.0 * max(r0, 1e-16), (r1, r0)
+
+
+def test_ozaki_fold_resolution():
+    """ozaki_fold is the single-device default and stays OFF under a grid
+    mesh (the sharded route keeps the GSPMD-partitioned unfolded dots).
+    Trajectory equivalence folded-vs-unfolded is pinned by
+    test_sharding.py::test_sharded_ozaki_matches_single_device (the
+    single-device side folds, the sharded side does not)."""
+    from chsimpy_tpu.core.solver import Solver
+
+    p = ct.Parameters()
+    p.N = 32
+    p.no_gui = True
+    p.precision = 'float64'
+    p.transform_backend = 'ozaki'
+    p.kappa_tilde = 3e-4
+    assert Solver(p).cfg.ozaki_fold
+    p.mesh_shape = (2, 2)  # 8 virtual devices in conftest
+    assert not Solver(p).cfg.ozaki_fold
+
+
 def test_ozaki_rejects_float32():
     p = ct.Parameters()
     p.precision = 'float32'
