@@ -28,6 +28,34 @@ import numpy as np
 FORMAT_VERSION = 2
 
 
+def _params_from_header(header: dict):
+    """Parameters from a checkpoint header, validated against THIS build's
+    mode choices: a checkpoint from a build whose mode was since deleted
+    (e.g. round-2's kernel_backend='pallas-fused') must fail loudly, not
+    silently restore onto a different compute path."""
+    from .params import Parameters
+    params = Parameters()
+    names = {f.name for f in params.__dataclass_fields__.values()}
+    for k, v in header['params'].items():
+        if k in names and k != 'version':
+            if k == 'mesh_shape' and v is not None:
+                v = tuple(v)
+            setattr(params, k, v)
+    kb = getattr(params, 'kernel_backend', 'xla')
+    if kb not in ('xla', 'pallas'):
+        raise ValueError(
+            f"checkpoint requests kernel_backend={kb!r}, which this build "
+            "does not provide (choices: xla, pallas; 'pallas-fused' was "
+            "removed in round 3 — restore under --kernels xla needs a "
+            "checkpoint saved with a supported mode)")
+    tb = getattr(params, 'transform_backend', 'auto')
+    if tb not in ('auto', 'matmul', 'split', 'fft', 'ozaki'):
+        raise ValueError(
+            f"checkpoint requests transform_backend={tb!r}, which this "
+            "build does not provide")
+    return params
+
+
 def save_checkpoint(fname: str, solver) -> None:
     """Serialize a Solver's resumable state."""
     sol = solver.solution
@@ -62,19 +90,12 @@ def save_checkpoint(fname: str, solver) -> None:
 def load_checkpoint(fname: str):
     """Returns (params, payload dict) — build a Solver via
     :func:`restore_solver`."""
-    from .params import Parameters
     z = np.load(fname, allow_pickle=False)
     header = json.loads(bytes(z['header']).decode())
     if header['format_version'] != FORMAT_VERSION:
         raise ValueError(f"unsupported checkpoint version "
                          f"{header['format_version']}")
-    params = Parameters()
-    names = {f.name for f in params.__dataclass_fields__.values()}
-    for k, v in header['params'].items():
-        if k in names and k != 'version':
-            if k == 'mesh_shape' and v is not None:
-                v = tuple(v)
-            setattr(params, k, v)
+    params = _params_from_header(header)
     payload = {
         'header': header,
         'U': z['U'],
@@ -188,7 +209,6 @@ def restore_ensemble(fname: str, mesh=None):
     import jax.numpy as jnp
 
     from .ensemble import EnsembleSolver
-    from .params import Parameters
     from .timedata import TimeData
 
     z = np.load(fname, allow_pickle=False)
@@ -198,13 +218,7 @@ def restore_ensemble(fname: str, mesh=None):
     if header['format_version'] != FORMAT_VERSION:
         raise ValueError(f"unsupported checkpoint version "
                          f"{header['format_version']}")
-    params = Parameters()
-    names = {f.name for f in params.__dataclass_fields__.values()}
-    for k, v in header['params'].items():
-        if k in names and k != 'version':
-            if k == 'mesh_shape' and v is not None:
-                v = tuple(v)
-            setattr(params, k, v)
+    params = _params_from_header(header)
 
     ens = EnsembleSolver(params, np.asarray(z['A_pairs']),
                          U_init=np.asarray(z['U_init']), mesh=mesh)

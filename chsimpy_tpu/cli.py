@@ -99,11 +99,19 @@ FLAGS = [
     Flag(('--fold-field',), 'TPU',
          'Keep the field in the level-1 folded layout between transforms '
          '(split route, single device): drops 4 full-field reversal '
-         'relayouts per step; U trajectory bit-identical, stats regroup '
-         'their sums (ULP-order trace shift). Default: auto — folds '
-         'whenever it composes (measured +3.6%% e2e at N=4096 f32); '
-         '--no-fold-field forces the natural layout', param='fold_field',
+         'relayouts per step; stats regroup their sums (ULP-order trace '
+         'shift). At equal --split-levels the U trajectory is '
+         'bit-identical; the auto depth resolver folds one level deeper '
+         'under --fold-field at N>=4096 (measured faster), so default '
+         'trajectories differ there. Default: auto — folds whenever it '
+         'composes (measured +3.6%% e2e at N=4096 f32); --no-fold-field '
+         'forces the natural layout', param='fold_field',
          action=argparse.BooleanOptionalAction),
+    Flag(('--split-levels',), 'TPU',
+         'Fold depth of the split transform route (1-6); default: '
+         'per-size measured resolver (4 at N>=4096, 5 folded, 3 at 2048, '
+         'else 2). Pin it to make --fold-field a pure-layout A/B',
+         param='split_levels', type=int, default=None),
     Flag(('--transform',), 'TPU',
          '2-D DCT route: matmul (MXU, shards under --mesh), split '
          '(folded matmul, ~1.5x faster on one chip at N>=1024), fft '

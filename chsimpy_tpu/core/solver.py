@@ -43,21 +43,30 @@ _JITTER_BUF_BYTES = 64 << 20  # cap on the per-chunk host jitter pre-draw
 SPLIT_MIN_N = 1024
 
 
-def resolve_fold_field(params: Parameters) -> bool:
+def resolve_fold_field(params: Parameters, grid_sharded: bool = None) -> bool:
     """Resolve Parameters.fold_field (None = auto) for this run.
 
-    Auto folds whenever it composes: split transform route, single device,
-    XLA kernels.  Measured on the v5e chip (artifacts/r3/capture_r3.log):
-    +3.6% end-to-end at N=4096 f32 (117.2 vs 113.1 steps/s) with a
-    bit-identical U trajectory; the stats regroup their sums (ULP-order
-    trace shift, f32 mode only — f64 split runs keep the same contract
-    class, and the CPU f64 contract path resolves to matmul where fold
-    never engages).
+    Auto folds whenever it composes: split transform route, member-local
+    fields (no grid sharding), XLA kernels.  Measured on the v5e chip
+    (artifacts/r3/capture_r3.log): +3.6% end-to-end at N=4096 f32 (117.2
+    vs 113.1 steps/s); the stats regroup their sums (ULP-order trace
+    shift).  At equal split depth the folded layout is pure data movement
+    (U trajectory bit-identical); note the *auto* depth resolver picks one
+    more fold level under the folded layout at N>=4096 (measured faster
+    there), so default folded/natural trajectories differ at those sizes —
+    pin ``--split-levels`` for a bit-identity A/B.
+
+    ``grid_sharded`` overrides the "is the field split across devices"
+    test for callers with their own runtime mesh (EnsembleSolver: an
+    'ens'-only mesh keeps fields member-local and composes with the fold;
+    an x/y grid axis does not).  Default: params.mesh_shape decides.
     """
     ff = getattr(params, 'fold_field', None)
     if ff is not None:
         return bool(ff)
-    return (params.mesh_shape is None
+    if grid_sharded is None:
+        grid_sharded = params.mesh_shape is not None
+    return (not grid_sharded
             and getattr(params, 'kernel_backend', 'xla') == 'xla'
             and resolve_transform(params) == 'split')
 
@@ -170,6 +179,11 @@ class Solver:
         if params.time_max is not None and params.time_max > 0:
             time_limit = params.time_max * 60.0
 
+        sl = getattr(params, 'split_levels', None)
+        if sl is not None and not (1 <= sl and N % (2 ** sl) == 0):
+            raise ValueError(
+                f"--split-levels {sl} needs N divisible by 2^levels "
+                f"(got N={N})")
         fold_field = resolve_fold_field(params)
         if fold_field:
             if params.mesh_shape is not None:
@@ -210,6 +224,7 @@ class Solver:
             # have fold-aware slicing), so it forces fast_stats
             fast_stats=(jax.default_backend() == 'tpu') or fold_field,
             fold_field=fold_field,
+            split_levels=getattr(params, 'split_levels', None),
             # folded int8 blocks halve the transform MACs on one device
             # (measured 42.3 vs 48.5 ms/rt at N=4096 — PERFORMANCE.md);
             # the sharded route keeps the GSPMD-partitioned unfolded dots

@@ -99,10 +99,13 @@ class StepConfig:
     fast_stats: bool = False
     # level-1 folded field layout between inverse and forward transform
     # (split route only): the four level-1 reversal relayouts per step
-    # disappear; U trajectory stays bit-identical (pure data layout),
-    # stats regroup their slice sums (ULP-order trace differences).
-    # Default where it composes since round 3 (+3.6% e2e measured;
-    # resolve_fold_field in core/solver.py decides)
+    # disappear; stats regroup their slice sums (ULP-order trace
+    # differences).  At EQUAL split depth the fold is pure data layout (U
+    # trajectory bit-identical); note split_levels_resolved picks one more
+    # fold level under fold_field at N>=4096 (measured faster there), so
+    # default folded/natural trajectories differ at those sizes unless
+    # split_levels is pinned.  Default where it composes since round 3
+    # (+3.6% e2e measured; resolve_fold_field in core/solver.py decides)
     fold_field: bool = False
     # level-1 folded blocks for the ozaki int8 transform: half the int8
     # MACs per stage (measured 42.3 vs 48.5 ms/rt at N=4096 f64 on chip),

@@ -86,17 +86,11 @@ class EnsembleSolver:
                      and 0.0 < params.jitter < 0.1)
         if jitter_on and params.generator == 'lcg':
             raise ValueError("jitter requires a sample stream; 'lcg' has none")
-        _ff = getattr(params, 'fold_field', None)
-        _grid_sharded = mesh is not None and (
+        _grid_sharded = (mesh is not None and (
             mesh.shape.get('x', 1) * mesh.shape.get('y', 1) > 1)
-        if _ff is None:
-            # auto (same policy as resolve_fold_field, with the ensemble's
-            # own mesh deciding grid-shardedness): fold when it composes
-            fold_field = (not _grid_sharded
-                          and params.kernel_backend == 'xla'
-                          and solver_mod.resolve_transform(params) == 'split')
-        else:
-            fold_field = bool(_ff)
+            ) or params.mesh_shape is not None
+        fold_field = solver_mod.resolve_fold_field(
+            params, grid_sharded=_grid_sharded)
         if fold_field:
             # same composition rules as the single-run solver: the fold is
             # a property of the split route's level-1 layout, and the seam
@@ -151,6 +145,7 @@ class EnsembleSolver:
             # have fold-aware slicing), so it forces fast_stats
             fast_stats=(jax.default_backend() == 'tpu') or fold_field,
             fold_field=fold_field,
+            split_levels=getattr(params, 'split_levels', None),
             # folded int8 blocks are member-local ops: they compose with
             # the vmapped batch and ens-axis sharding, but not with grid
             # sharding of the member fields (same rule as the solver)

@@ -80,12 +80,21 @@ class Parameters:
     jitter_backend: str = 'host'      # host (bit-exact RNG) | device (threefry)
     fold_field: Optional[bool] = None  # level-1 folded field layout (split
                                       # route, single device): drops the 4
-                                      # level-1 reversal relayouts per step;
-                                      # U trajectory bit-identical.  None =
+                                      # level-1 reversal relayouts per step.
+                                      # At equal split depth the fold is
+                                      # pure data layout (U bit-identical);
+                                      # the auto depth resolver picks one
+                                      # more fold level under fold_field at
+                                      # N>=4096 (measured faster), so the
+                                      # default trajectories differ there —
+                                      # pin split_levels for an A/B.  None =
                                       # auto: fold whenever the resolved
                                       # route is split on one device with
                                       # XLA kernels (measured +3.6% e2e at
                                       # N=4096 f32, capture_r3)
+    split_levels: Optional[int] = None  # fold depth of the split route;
+                                      # None = per-size measured resolver
+                                      # (StepConfig.split_levels_resolved)
     kernel_backend: str = 'xla'       # xla | pallas
     # MXU pass count for f32 DCT matmuls; None resolves to 'high' in float32
     # mode (measured: same trace quality as 'highest' at ~1.8x speed) and

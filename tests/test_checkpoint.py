@@ -356,3 +356,40 @@ def test_checkpoint_every_fires_across_reentries(tmp_path):
     s2 = restore_solver(f)
     # saves fired mid-run at accumulated-step boundaries, not only at end
     assert 0 < s2.solution.computed_steps < 40
+
+
+def test_checkpoint_stale_mode_fails_loudly(tmp_path):
+    """A checkpoint carrying a mode this build no longer provides (e.g.
+    round-2's kernel_backend='pallas-fused', deleted in round 3) must
+    raise on load instead of silently restoring onto a different compute
+    path (ADVICE r3)."""
+    import json
+
+    import pytest
+
+    p = params(N=16)
+    s = ct.Solver(p)
+    s.prepare()
+    s.solve_or_resume(5)
+    f = str(tmp_path / 'stale.npz')
+    save_checkpoint(f, s)
+
+    # rewrite the header with the deleted mode
+    z = np.load(f, allow_pickle=False)
+    header = json.loads(bytes(z['header']).decode())
+    header['params']['kernel_backend'] = 'pallas-fused'
+    arrays = {k: z[k] for k in z.files}
+    arrays['header'] = np.frombuffer(
+        json.dumps(header).encode(), dtype=np.uint8)
+    np.savez_compressed(f, **arrays)
+
+    with pytest.raises(ValueError, match='pallas-fused'):
+        restore_solver(f)
+
+    header['params']['kernel_backend'] = 'xla'
+    header['params']['transform_backend'] = 'warp-drive'
+    arrays['header'] = np.frombuffer(
+        json.dumps(header).encode(), dtype=np.uint8)
+    np.savez_compressed(f, **arrays)
+    with pytest.raises(ValueError, match='warp-drive'):
+        restore_solver(f)

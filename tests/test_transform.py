@@ -489,3 +489,74 @@ def test_fold_field_auto_resolution():
     assert resolve_fold_field(params(fold_field=False)) is False
     assert resolve_fold_field(params(N=64, transform_backend='split',
                                      fold_field=True)) is True
+
+
+def test_split_levels_param_pins_depth():
+    """Parameters.split_levels (CLI --split-levels) pins the fold depth of
+    the split route; at a PINNED depth --fold-field is a pure layout A/B
+    (the auto resolver bumps the depth under fold at N>=4096, which
+    changes transform rounding — ADVICE r3)."""
+    import chsimpy_tpu as ct
+    from chsimpy_tpu.cli import CLIParser
+    from chsimpy_tpu.core.solver import Solver
+    from chsimpy_tpu.core.stepper import StepConfig
+
+    p = CLIParser().get_parameters([
+        '-N', '64', '--no-gui', '--transform', 'split',
+        '--split-levels', '3'])
+    assert p.split_levels == 3
+    s = Solver(p)
+    assert s.cfg.split_levels_resolved == 3
+
+    # the auto resolver (no pin) depends on fold_field at N>=4096
+    auto_nat = StepConfig(N=4096, dtype='float32', RT=1, BRT=1, B=1, Amr=1,
+                          L=1, delx=1, delx2=1, M_tilde=1, threshold=0.875,
+                          fold_field=False)
+    auto_fold = auto_nat.__class__(**{**auto_nat.__dict__,
+                                      'fold_field': True})
+    assert auto_nat.split_levels_resolved == 4
+    assert auto_fold.split_levels_resolved == 5
+    # a pin overrides both
+    pinned = auto_nat.__class__(**{**auto_nat.__dict__,
+                                   'fold_field': True, 'split_levels': 4})
+    assert pinned.split_levels_resolved == 4
+
+    # invalid depth for N raises
+    bad = ct.Parameters()
+    bad.N = 64
+    bad.no_gui = True
+    bad.transform_backend = 'split'
+    bad.split_levels = 9
+    with pytest.raises(ValueError, match='split-levels'):
+        Solver(bad)
+
+
+def test_fold_field_pinned_depth_bit_identity():
+    """With --split-levels pinned, fold vs natural is bit-identical in U
+    even where the auto resolver would have diverged the depths."""
+    import chsimpy_tpu as ct
+    from chsimpy_tpu.core.solver import Solver
+
+    def params(fold):
+        p = ct.Parameters()
+        p.N = 64
+        p.ntmax = 30
+        p.no_gui = True
+        p.update_every = None
+        p.full_sim = True
+        p.generator = 'uniform'
+        p.seed = 2023
+        p.transform_backend = 'split'
+        p.split_levels = 3  # pinned: not the auto depth (2) for N=64
+        p.kappa_tilde = 2.98911291966116e-4
+        p.fold_field = fold
+        return p
+
+    nat = Solver(params(False))
+    nat.prepare()
+    nat.solve_or_resume(30)
+    fol = Solver(params(True))
+    fol.prepare()
+    fol.solve_or_resume(30)
+    np.testing.assert_array_equal(np.asarray(fol.solution.U),
+                                  np.asarray(nat.solution.U))
