@@ -89,6 +89,17 @@ def _resolve_transform(params: Parameters) -> str:
                 # on the virtual mesh) and each is ~100x the emulated-f64
                 # matmul's per-chip rate
                 return 'ozaki'
+            D = params.mesh_shape[0] * params.mesh_shape[1]
+            if (params.precision == 'float32'
+                    and params.N >= SPLIT_MIN_N and params.N % 4 == 0
+                    and params.N % D == 0
+                    and getattr(params, 'kernel_backend', 'xla') == 'xla'):
+                # split route under the PENCIL layout: every matmul
+                # contracts a local axis and the transform communication
+                # collapses to 2 transpose all-to-alls per step — 5-8x
+                # less wire than the grid-sharded matmul contraction
+                # (parallel/sharding.py, SCALING_PREDICTED.json)
+                return 'split'
             return 'matmul'  # sharded contraction: local matmul + collective
         if (params.precision == 'float64'
                 and jax.default_backend() == 'tpu' and params.N >= 256):
@@ -104,11 +115,24 @@ def _resolve_transform(params: Parameters) -> str:
             if jax.default_backend() == 'tpu':
                 return 'split'
         return 'matmul'
-    if tb in ('fft', 'split'):
-        if params.mesh_shape is not None:
+    if tb == 'fft' and params.mesh_shape is not None:
+        raise ValueError(
+            "--transform fft does not shard under --mesh; the "
+            "distributed transforms are the split (pencil layout), "
+            "matmul and ozaki routes")
+    if tb == 'split' and params.mesh_shape is not None:
+        D = params.mesh_shape[0] * params.mesh_shape[1]
+        if params.N % D:
             raise ValueError(
-                f"--transform {tb} does not shard under --mesh; the "
-                "distributed transforms are the matmul and ozaki routes")
+                f"--transform split under --mesh uses the pencil layout, "
+                f"which needs N divisible by the device count {D} "
+                f"(got N={params.N})")
+        if getattr(params, 'kernel_backend', 'xla') == 'pallas':
+            raise ValueError(
+                "--transform split under --mesh (pencil layout) requires "
+                "--kernels xla (the sharded Pallas stencils assume the "
+                "2-D grid layout)")
+    if tb in ('fft', 'split'):
         if params.N % 2:
             raise ValueError(f"--transform {tb} requires even N "
                              f"(got {params.N})")
@@ -230,6 +254,10 @@ class Solver:
             # the sharded route keeps the GSPMD-partitioned unfolded dots
             ozaki_fold=(resolve_transform(params) == 'ozaki'
                         and params.mesh_shape is None and N % 2 == 0),
+            # the split route shards via the pencil layout (2 transpose
+            # all-to-alls per step), never the 2-D grid contraction
+            pencil=(params.mesh_shape is not None
+                    and resolve_transform(params) == 'split'),
         )
 
         # optional 2-D grid sharding over a device mesh
@@ -258,14 +286,15 @@ class Solver:
         self._consts = make_consts(self.cfg, self.delt)
         if self.mesh is not None:
             from ..parallel.sharding import shard_consts
-            self._consts = shard_consts(self._consts, self.mesh)
+            self._consts = shard_consts(self._consts, self.mesh,
+                                        pencil=self.cfg.pencil)
         self._run_chunk = make_chunk_runner(self.cfg, mesh=self.mesh)
         self._prepare_stats = make_prepare(self.cfg)
         # NOTE: the DCT matrix / block tree is an *argument*, never a
         # closure capture — large constants embedded in HLO compile
         # pathologically slowly on the TPU compile service.  The entry
         # recompute uses the same transform route as the in-loop step.
-        self._dct2 = jax.jit(make_entry_dct2(self.cfg))
+        self._dct2 = jax.jit(make_entry_dct2(self.cfg, mesh=self.mesh))
         if self.cfg.fold_field:
             from ..ops.dct import fold1
             self._fold1_dev = jax.jit(fold1)  # involution: fold == unfold
@@ -283,8 +312,11 @@ class Solver:
         (reference solver.py:84-135)."""
         U0 = jnp.asarray(self.U_init, self.cfg.jdtype)
         if self.mesh is not None:
-            from ..parallel.sharding import grid_sharding
-            U0 = jax.device_put(U0, grid_sharding(self.mesh))
+            from ..parallel.sharding import (grid_sharding,
+                                             pencil_field_sharding)
+            place = (pencil_field_sharding(self.mesh) if self.cfg.pencil
+                     else grid_sharding(self.mesh))
+            U0 = jax.device_put(U0, place)
         E, E2, Ra, PS = self._prepare_stats(self._consts, U0)
         E, E2, Ra, PS = (float(E), float(E2), float(Ra), float(PS))
 
@@ -313,7 +345,8 @@ class Solver:
         )
         if self.mesh is not None:
             from ..parallel.sharding import shard_state
-            self._state = shard_state(self._state, self.mesh)
+            self._state = shard_state(self._state, self.mesh,
+                                      pencil=self.cfg.pencil)
         self.solution.U = U0
         self.solution.timedata = data
         self.solution.tau0 = 0.0

@@ -113,6 +113,13 @@ class StepConfig:
     # transform == 'ozaki' and no grid mesh; sharded ozaki keeps the
     # GSPMD-partitioned unfolded dots)
     ozaki_fold: bool = False
+    # pencil (1-D) sharded layout for the split route under a mesh: the
+    # field is column-sharded over every device, the spectral image
+    # row-sharded, each 1-D transform stage runs on a LOCAL axis, and the
+    # only transform communication is one transpose all-to-all per 2-D
+    # transform (parallel/sharding.py) — replacing the grid layout's
+    # GSPMD-partitioned 2-D contraction at 5-8x the wire volume
+    pencil: bool = False
 
     @property
     def split_levels_resolved(self) -> int:
@@ -407,8 +414,33 @@ def _grid_constrainer(mesh, axes=('x', 'y')):
     return constrain
 
 
+def _sharding_constrainer(sharding):
+    """Constrainer for an explicit NamedSharding (pencil layouts)."""
+    def constrain(x):
+        return lax.with_sharding_constraint(x, sharding)
+    return constrain
+
+
+def _layout_constrainers(cfg: StepConfig, mesh):
+    """(field, spec) constrainer pair for a mesh under this config:
+    pencil mode pins field/spectral to their 1-D pencil shardings,
+    everything else to the 2-D grid sharding (spec=None: same as field)."""
+    if mesh is None:
+        return (lambda x: x), None
+    if cfg.pencil:
+        from ..parallel.sharding import (pencil_field_sharding,
+                                         pencil_spec_sharding)
+        return (_sharding_constrainer(pencil_field_sharding(mesh)),
+                _sharding_constrainer(pencil_spec_sharding(mesh)))
+    return _grid_constrainer(mesh), None
+
+
 def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
-          constrain=lambda x: x, mesh=None):
+          constrain=lambda x: x, mesh=None, constrain_spec=None):
+    """``constrain`` pins FIELD-space (N, N) intermediates,
+    ``constrain_spec`` SPECTRAL-space ones.  They differ only in pencil
+    mode (column- vs row-sharded); grid mode pins both to P('x','y')."""
+    c_spec = constrain if constrain_spec is None else constrain_spec
     dtype = cfg.jdtype
     U = state.U
     EnergieEut = constrain(_nonlinear_term(cfg, consts, U, mesh))
@@ -446,8 +478,8 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
         CHeig, Seig = coeffs_ops.get_coefficients(
             consts['leig'], consts['kappa_tilde'].astype(dtype),
             delt.astype(dtype), cfg.delx2)
-        CHeig = constrain(CHeig)
-        Seig = constrain(Seig)
+        CHeig = c_spec(CHeig)
+        Seig = c_spec(Seig)
     else:
         delt = state.delt
         CHeig, Seig = consts['CHeig'], consts['Seig']
@@ -482,6 +514,18 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
                     constrain=constrain)
                 hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
                 U = dct_ops.idct2_split_perm_folded(
+                    hat_U, consts['tree'], precision=prec,
+                    constrain=constrain)
+            elif cfg.pencil:
+                # pencil stage order: the mid-transform constraint IS the
+                # transpose all-to-all (spec sharding on the forward,
+                # field sharding on the inverse); every matmul contracts
+                # a local axis
+                hat_E = c_spec(dct_ops.dct2_split_perm(
+                    EnergieEut, consts['tree'], precision=prec,
+                    constrain=c_spec))
+                hat_U = c_spec((state.hat_U + Seig * hat_E) / CHeig)
+                U = dct_ops.idct2_split_perm_pencil(
                     hat_U, consts['tree'], precision=prec,
                     constrain=constrain)
             else:
@@ -579,11 +623,13 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
     return lax.cond(time_passed > cfg.time_limit, abort, proceed, state)
 
 
-def _chunk_body(cfg: StepConfig, constrain, mesh=None):
+def _chunk_body(cfg: StepConfig, constrain, mesh=None, constrain_spec=None):
     """Raw (unjitted) chunk runner: up to ``n_iters`` steps under an
     on-device while_loop, stopping early when stop_reason != 0.  ``mesh``
     is only passed for the Pallas-kernel sharded path (shard_map regions
-    need the concrete mesh; the XLA path shards via GSPMD constraints)."""
+    need the concrete mesh; the XLA path shards via GSPMD constraints).
+    ``constrain_spec`` pins spectral-space intermediates when it differs
+    from the field constraint (pencil mode)."""
     use_stream = cfg.jitter_mode == 'stream'
     use_static = cfg.jitter_mode == 'static'
 
@@ -600,7 +646,8 @@ def _chunk_body(cfg: StepConfig, constrain, mesh=None):
                 slab = jitter_buf
             else:
                 slab = None
-            return _step(cfg, consts, s, slab, constrain, mesh), i + 1
+            return _step(cfg, consts, s, slab, constrain, mesh,
+                         constrain_spec), i + 1
 
         state, _ = lax.while_loop(cond, body,
                                   (state, jnp.asarray(0, jnp.int32)))
@@ -617,7 +664,8 @@ def make_chunk_runner(cfg: StepConfig, mesh=None):
     kernel backend additionally runs its kernels per-shard under
     shard_map with halo exchange."""
     pallas_mesh = mesh if cfg.kernel_backend == 'pallas' else None
-    run = _chunk_body(cfg, _grid_constrainer(mesh), pallas_mesh)
+    c_field, c_spec = _layout_constrainers(cfg, mesh)
+    run = _chunk_body(cfg, c_field, pallas_mesh, c_spec)
     return jax.jit(run, donate_argnums=(0,))
 
 
@@ -643,14 +691,15 @@ def make_ensemble_runner(cfg: StepConfig, mesh=None):
             spmd = 'ens'
         if 'x' in mesh.axis_names and 'y' in mesh.axis_names:
             grid_mesh = mesh
-    run = _chunk_body(cfg, _grid_constrainer(grid_mesh))
+    c_field, c_spec = _layout_constrainers(cfg, grid_mesh)
+    run = _chunk_body(cfg, c_field, constrain_spec=c_spec)
     vrun = jax.vmap(run,
                     in_axes=(0, None, CONSTS_BATCH_AXES, None),
                     spmd_axis_name=spmd)
     return jax.jit(vrun, donate_argnums=(0,))
 
 
-def make_entry_dct2(cfg: StepConfig):
+def make_entry_dct2(cfg: StepConfig, mesh=None):
     """(U, consts) -> spectral image of U via the configured transform
     route (the reference recomputes hat_U at every API entry,
     solver.py:159).  Entry runs at HIGHEST precision — once per entry,
@@ -661,6 +710,10 @@ def make_entry_dct2(cfg: StepConfig):
             # entry U is device state, i.e. already level-1 folded
             return lambda U, consts: dct_ops.dct2_split_perm_folded(
                 U, consts['tree'])
+        if cfg.pencil and mesh is not None:
+            _, c_spec = _layout_constrainers(cfg, mesh)
+            return lambda U, consts: c_spec(dct_ops.dct2_split_perm(
+                U, consts['tree'], constrain=c_spec))
         return lambda U, consts: dct_ops.dct2_split_perm(U, consts['tree'])
     if cfg.transform_backend == 'fft':
         return lambda U, consts: dct_ops.dct2_fft(U)

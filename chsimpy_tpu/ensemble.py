@@ -151,6 +151,11 @@ class EnsembleSolver:
             # sharding of the member fields (same rule as the solver)
             ozaki_fold=(solver_mod.resolve_transform(params) == 'ozaki'
                         and not _grid_sharded and N % 2 == 0),
+            # grid-sharded member fields under the split route use the
+            # pencil layout (vmap adds the member axis to the pencil
+            # specs automatically; 2 transpose all-to-alls per step)
+            pencil=(_grid_sharded
+                    and solver_mod.resolve_transform(params) == 'split'),
         )
 
         self.chunk_size = max(1, int(params.chunk_size))

@@ -398,6 +398,48 @@ def idct2_split(X, tree, precision=jax.lax.Precision.HIGHEST,
     return _apply_split_t(tree, constrain(U).T, precision).T
 
 
+# ----------------------------------------------------------------------
+# Pencil (1-D) sharded variants: the distributed-spectral decomposition.
+#
+# Under the pencil layout (parallel/sharding.py) the field U is COLUMN
+# sharded (axis 0 fully local per device) and the spectral image ROW
+# sharded (axis 1 fully local).  Each 1-D stage of the separable 2-D
+# transform then acts on a local axis — any route works per stage,
+# including the folded split blocks — and the ONLY communication is the
+# resharding between the stages: one transpose all-to-all per 2-D
+# transform, moving (D-1)/D of one field shard per device.  This
+# replaces the GSPMD-partitioned 2-D contraction of the grid layout,
+# whose audited wire volume is 5-8x higher (SCALING_PREDICTED.json).
+#
+# The forward :func:`dct2_split_perm` / :func:`dct2` already run
+# column-stage-then-row-stage, so they ARE pencil-ready when given the
+# spectral resharding as ``constrain``; the inverses below swap the
+# stage order (row stage first — local on the row-sharded spectral
+# input) which the separable transform permits.  Note the swapped order
+# nests the two 1-D summations the other way round, so the pencil
+# inverse is not bit-identical to the single-device inverse — it is an
+# equally exact DCT-III (f64 roundtrip error at the representation
+# floor), and the SHARDED program is bit-identical to the same pencil
+# program on one device (every matmul contracts a local axis).
+# ----------------------------------------------------------------------
+
+
+def idct2_pencil(X, C, precision=jax.lax.Precision.HIGHEST,
+                 constrain=lambda x: x):
+    """DCT-III with the row (last-axis) stage first: ``(X @ C) -> reshard
+    -> C^T @ ·``.  ``constrain`` pins the mid intermediate to the FIELD
+    (column) sharding — the transpose all-to-all."""
+    return _mm(C.T, constrain(_mm(X, C, precision)), precision)
+
+
+def idct2_split_perm_pencil(X, tree, precision=jax.lax.Precision.HIGHEST,
+                            constrain=lambda x: x):
+    """Inverse of :func:`dct2_split_perm` with the last-axis stage first
+    (pencil stage order; see the block comment above)."""
+    U = _apply_split_t_perm_right(tree, X, precision)
+    return _apply_split_t_perm(tree, constrain(U), precision)
+
+
 def dct2_fft(U: jnp.ndarray, constrain=lambda x: x) -> jnp.ndarray:
     """Orthonormal 2-D DCT-II via row/column rFFTs (axis -1 then axis 0)."""
     X = dct1d_fft(U)

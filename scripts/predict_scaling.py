@@ -40,12 +40,15 @@ os.environ['XLA_FLAGS'] = (
     + f' --xla_force_host_platform_device_count={MAX_DEVICES}')
 os.environ['JAX_PLATFORMS'] = 'cpu'
 
-# measured single-chip ms/step (PERFORMANCE.md, round-2 defaults)
+# measured single-chip ms/step (PERFORMANCE.md; f32@4096 is the round-3
+# fold-field-default official bench, 188.1 steps/s — the honest
+# denominator for "efficiency vs the best single chip" even though the
+# sharded run cannot use fold-field)
 SINGLE_CHIP_MS = {
     ('float32', 2048): 0.91,
-    ('float32', 4096): 5.89,
+    ('float32', 4096): 5.32,
     ('float32', 8192): 41.6,
-    ('float64', 4096): 81.3,   # ozaki int8 route
+    ('float64', 4096): 73.5,   # ozaki int8 route, folded (13.6 steps/s r3)
 }
 
 ICI_LINK_GBS = 45.0      # one-way per link, v5e
@@ -102,7 +105,11 @@ def main(argv=None):
 
     configs = [(2048, 'float32', None)]
     if not args.quick:
+        # default (auto) f32 rows resolve to the split-pencil route since
+        # round 4; the explicit 'matmul' rows keep the grid-sharded
+        # contraction on record for comparison
         configs += [(4096, 'float32', None), (8192, 'float32', None),
+                    (4096, 'float32', 'matmul'),
                     (4096, 'float64', 'ozaki')]
     meshes = [(1, 2), (2, 2), (2, 4), (4, 4)]
 

@@ -156,3 +156,140 @@ def test_sharded_ozaki_collective_audit():
     # generous but finite (measured 7.8x at N=256)
     assert res['total_bytes'] <= 16 * res['field_bytes'], (
         res['per_op_bytes'])
+
+
+# ----------------------------------------------------------------------
+# Pencil (1-D) sharded split route — round 4
+# ----------------------------------------------------------------------
+
+
+def _pencil_params(mesh_shape, precision='float64', N=64, adaptive=False):
+    p = ct.Parameters()
+    p.N = N
+    p.ntmax = 40
+    p.no_gui = True
+    p.update_every = None
+    p.full_sim = True
+    p.generator = 'lcg'
+    p.precision = precision
+    p.transform_backend = 'split'
+    p.mesh_shape = mesh_shape
+    p.adaptive_time = adaptive
+    p.kappa_tilde = 2.98911291966116e-4
+    return p
+
+
+@pytest.mark.parametrize('mesh_shape', [(1, 2), (2, 2), (2, 4)])
+def test_pencil_split_bitexact_across_device_counts(mesh_shape):
+    """Every matmul in the pencil route contracts a LOCAL axis, so the
+    f64 U trajectory must be BIT-identical across device counts (the
+    collectives are pure data movement); E agrees to psum ULPs."""
+    from chsimpy_tpu.core.solver import Solver
+
+    base = Solver(_pencil_params((1, 1)))
+    assert base.cfg.pencil
+    base.prepare()
+    base.solve_or_resume(40)
+    sh = Solver(_pencil_params(mesh_shape))
+    assert sh.cfg.pencil
+    sh.prepare()
+    sh.solve_or_resume(40)
+    np.testing.assert_array_equal(np.asarray(sh.solution.U),
+                                  np.asarray(base.solution.U))
+    np.testing.assert_allclose(sh.solution.timedata.data()[:, 1],
+                               base.solution.timedata.data()[:, 1],
+                               rtol=1e-13)
+
+
+def test_pencil_split_matches_unsharded_split():
+    """The pencil stage order nests the inverse's two 1-D summations the
+    other way round than the single-device split route — same exact
+    transform, f64 trajectory agreement to representation-class ULPs."""
+    from chsimpy_tpu.core.solver import Solver
+
+    ref = Solver(_pencil_params(None))
+    assert not ref.cfg.pencil
+    ref.prepare()
+    ref.solve_or_resume(40)
+    sh = Solver(_pencil_params((2, 4)))
+    sh.prepare()
+    sh.solve_or_resume(40)
+    np.testing.assert_allclose(np.asarray(sh.solution.U),
+                               np.asarray(ref.solution.U),
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(sh.solution.timedata.data()[:, 1],
+                               ref.solution.timedata.data()[:, 1],
+                               rtol=1e-12)
+
+
+def test_pencil_adaptive_composes():
+    """Adaptive-dt under the pencil layout: the coefficient rebuild and
+    the ord=-1 norm (local column sums + order-free min) must keep the
+    sharded trajectory bit-identical to the 1-device pencil run."""
+    from chsimpy_tpu.core.solver import Solver
+
+    base = Solver(_pencil_params((1, 1), adaptive=True))
+    base.prepare()
+    base.solve_or_resume(40)
+    sh = Solver(_pencil_params((2, 4), adaptive=True))
+    sh.prepare()
+    sh.solve_or_resume(40)
+    np.testing.assert_array_equal(np.asarray(sh.solution.U),
+                                  np.asarray(base.solution.U))
+    np.testing.assert_array_equal(
+        np.asarray(sh.solution.timedata.data()[:, 8]),
+        np.asarray(base.solution.timedata.data()[:, 8]))  # delt column
+
+
+def test_pencil_field_layout_and_audit():
+    """The pencil program must (a) actually shard the field 1-D over all
+    devices, (b) communicate via transpose all-to-alls, (c) never
+    all-gather the full field, and (d) move LESS total collective volume
+    than one field per step."""
+    from chsimpy_tpu.core.solver import Solver
+    from chsimpy_tpu.parallel.audit import audit_sharded_chunk
+
+    p = _pencil_params((2, 4), precision='float32')
+    s = Solver(p)
+    s.prepare()
+    s.solve_or_resume(5)
+    U = s._state.U
+    assert len(U.sharding.device_set) == 8
+    assert U.sharding.shard_shape(U.shape) == (64, 8)      # columns
+    hat = s._state.hat_U
+    assert hat.sharding.shard_shape(hat.shape) == (8, 64)  # rows
+
+    res = audit_sharded_chunk(64, (2, 4), 'float32', transform='split')
+    assert res['per_op_bytes'].get('all-to-all', 0) > 0
+    assert res['per_op_bytes'].get('all-gather', 0) == 0
+    assert res['total_bytes'] < res['field_bytes']
+    assert res['max_single_collective_bytes'] <= res['field_bytes'] // 8
+
+
+def test_pencil_ensemble_matches_unsharded():
+    """Grid-sharded member fields under the split route take the pencil
+    layout inside the vmapped ensemble."""
+    from chsimpy_tpu import material
+    from chsimpy_tpu.ensemble import EnsembleSolver
+    from chsimpy_tpu.parallel.mesh import make_ensemble_mesh
+
+    p = _pencil_params(None)
+    A0 = material.A0(p.temp)
+    A1 = material.A1(p.temp)
+    pairs = np.array([[A0 * 1.001, A1 * 0.999], [A0 * 0.999, A1 * 1.001]])
+
+    ref = EnsembleSolver(p, pairs)
+    assert not ref.cfg.pencil
+    ref.prepare()
+    ref_sols = ref.solve_or_resume(30)
+
+    mesh = make_ensemble_mesh(2, (2, 2))
+    sh = EnsembleSolver(_pencil_params(None), pairs, mesh=mesh)
+    assert sh.cfg.pencil
+    sh.prepare()
+    sh_sols = sh.solve_or_resume(30)
+    for a, b in zip(sh_sols, ref_sols):
+        np.testing.assert_allclose(np.asarray(a.U), np.asarray(b.U),
+                                   rtol=0, atol=1e-13)
+        np.testing.assert_allclose(a.timedata.data()[:, 1],
+                                   b.timedata.data()[:, 1], rtol=1e-12)

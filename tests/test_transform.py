@@ -79,15 +79,33 @@ def test_resolve_transform_rules():
     # small grid: matmul
     p.N = 256
     assert resolve_transform(p) == 'matmul'
-    # mesh forces matmul in auto mode
+    # mesh + f32 large grid: split via the pencil layout (round 4)
     p.N = 4096
     p.mesh_shape = (2, 4)
+    assert resolve_transform(p) == 'split'
+    # ... unless the grid does not divide the device count
+    p.N = 1028
     assert resolve_transform(p) == 'matmul'
-    # explicit fft/split + mesh is rejected
-    for tb in ('fft', 'split'):
-        p.transform_backend = tb
-        with pytest.raises(ValueError, match='mesh'):
-            resolve_transform(p)
+    # ... or the kernels are the Pallas grid stencils
+    p.N = 4096
+    p.kernel_backend = 'pallas'
+    assert resolve_transform(p) == 'matmul'
+    # explicit split + mesh + pallas is rejected
+    p.transform_backend = 'split'
+    with pytest.raises(ValueError, match='pallas|kernels'):
+        resolve_transform(p)
+    p.kernel_backend = 'xla'
+    # explicit split + mesh needs N divisible by the device count
+    p.N = 1028
+    with pytest.raises(ValueError, match='divisible'):
+        resolve_transform(p)
+    p.N = 4096
+    assert resolve_transform(p) == 'split'
+    # explicit fft + mesh is rejected
+    p.transform_backend = 'fft'
+    with pytest.raises(ValueError, match='mesh'):
+        resolve_transform(p)
+    p.transform_backend = 'auto'
     # explicit choices pass through
     p.mesh_shape = None
     p.transform_backend = 'fft'
