@@ -88,8 +88,10 @@ FLAGS = [
          'Device mesh for grid sharding, e.g. "2x4" (rows x cols over '
          'jax.devices())'),
     Flag(('--jitter-backend',), 'TPU',
-         'host = bit-exact RNG streamed per chunk; device = fast on-device '
-         'threefry (not bit-exact with the reference)',
+         'host = bit-exact RNG streamed per chunk; device = on-device '
+         'draws without the per-chunk slab uploads (-g sobol: on-device '
+         'scrambled Sobol, BIT-exact with the scipy stream; -g uniform: '
+         'threefry, not reference-exact)',
          param='jitter_backend', choices=['host', 'device'],
          default='host'),
     Flag(('--kernels',), 'TPU',

@@ -191,6 +191,11 @@ class Solver:
             if params.generator == 'simplex':
                 jitter_mode = 'static'
             elif (params.jitter_backend == 'device'
+                  and params.generator == 'sobol'):
+                # on-device scrambled Sobol: bit-exact with the scipy
+                # stream AND no per-chunk host slab uploads (ops/sobol.py)
+                jitter_mode = 'device_sobol'
+            elif (params.jitter_backend == 'device'
                   and params.generator == 'uniform'):
                 jitter_mode = 'device'
             else:
@@ -284,6 +289,11 @@ class Solver:
                 1, min(self.chunk_size, _JITTER_BUF_BYTES // per_step))
 
         self._consts = make_consts(self.cfg, self.delt)
+        if self.cfg.jitter_mode == 'device_sobol':
+            from ..ops import sobol as sobol_ops
+            sv, sh = sobol_ops.sobol_tables(N, params.seed)
+            self._consts.update(sobol_sv=jnp.asarray(sv),
+                                sobol_shift=jnp.asarray(sh))
         if self.mesh is not None:
             from ..parallel.sharding import shard_consts
             self._consts = shard_consts(self._consts, self.mesh,
@@ -416,6 +426,17 @@ class Solver:
             n_iters = nsteps
 
         state = self._state
+        if self.cfg.jitter_mode == 'device_sobol':
+            # draws consumed BEFORE step 1 (the initial field's N points
+            # when this generator built U0; 0 after --Uinit-file).  The
+            # host engine never advances in device mode, so its position
+            # is exactly that base — restore-safe (the step computes its
+            # own offset from computed_steps)
+            gen = self._ensure_generator()
+            base = int(gen._qrng.num_generated) if gen._qrng is not None \
+                else 0
+            self._consts = dict(self._consts,
+                                sobol_base=jnp.asarray(base, jnp.uint32))
         # reference recomputes the spectral image at every (re)entry
         state = state.replace(hat_U=self._dct2(state.U, self._consts))
         if n_iters > 0:

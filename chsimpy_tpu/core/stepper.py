@@ -73,7 +73,10 @@ class StepConfig:
     full_sim: bool = False
     # jitter
     jitter: Optional[float] = None
-    jitter_mode: str = 'none'   # none | stream | static | device
+    # none | stream (host bit-exact) | static (simplex) | device (threefry,
+    # NOT reference-exact) | device_sobol (on-device scrambled Sobol,
+    # bit-exact with the scipy stream — ops/sobol.py)
+    jitter_mode: str = 'none'
     # kernel dispatch: 'xla' (default; XLA fuses the elementwise chains) or
     # 'pallas' (hand-tiled kernels, float32 single-run path only)
     kernel_backend: str = 'xla'
@@ -190,18 +193,25 @@ def make_consts(cfg: StepConfig, delt: float,
         tree = ()
     CHeig, Seig = coeffs_ops.get_coefficients(
         leig, jnp.asarray(kt, dtype), jnp.asarray(delt, dtype), cfg.delx2)
+    _zu = jnp.zeros((0,), jnp.uint32)
     return {'C': C, 'Cs': Cs, 'CsT': CsT, 'leig': leig, 'tree': tree,
             'CHeig': CHeig.astype(dtype), 'Seig': Seig.astype(dtype),
             'A0': jnp.asarray(A0, jnp.float64),
             'A1': jnp.asarray(A1, jnp.float64),
             'kappa_tilde': jnp.asarray(kt, jnp.float64),
+            # device-sobol jitter tables (ops/sobol.py); the solver fills
+            # them when jitter_mode == 'device_sobol'
+            'sobol_sv': _zu, 'sobol_shift': _zu,
+            'sobol_base': jnp.zeros((), jnp.uint32),
             **fold_stacks}
 
 
 CONSTS_BATCH_AXES = {'C': None, 'Cs': None, 'CsT': None, 'leig': None,
                      'tree': None, 'CHeig': 0,
                      'Seig': None, 'A0': 0, 'A1': 0, 'kappa_tilde': 0,
-                     'CeS': None, 'CoS': None, 'CeTS': None, 'CoTS': None}
+                     'CeS': None, 'CoS': None, 'CeTS': None, 'CoTS': None,
+                     'sobol_sv': None, 'sobol_shift': None,
+                     'sobol_base': None}
 
 
 def _nonlinear_term(cfg: StepConfig, consts, U, mesh=None):
@@ -576,6 +586,21 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
         rng_key = state.rng_key
         if cfg.jitter_mode == 'stream' or cfg.jitter_mode == 'static':
             U = U + cfg.jitter * (2.0 * jitter_slab.astype(dtype) - 1.0)
+        elif cfg.jitter_mode == 'device_sobol':
+            # on-device scrambled Sobol, bit-exact with the host scipy
+            # stream (ops/sobol.py): draw index = draws consumed before
+            # this step (the initial field's points ride in
+            # consts['sobol_base']; one N-point draw per prior step)
+            from ..ops import sobol as sobol_ops
+            base = (consts['sobol_base']
+                    + (state.computed_steps - 1).astype(jnp.uint32)
+                    * jnp.uint32(cfg.N))
+            r = sobol_ops.sobol_points(
+                consts['sobol_sv'], consts['sobol_shift'], base,
+                cfg.N).astype(dtype)
+            if cfg.fold_field:
+                r = dct_ops.fold1(r)
+            U = U + cfg.jitter * (2.0 * r - 1.0)
         elif cfg.jitter_mode == 'device':
             rng_key, sub = jax.random.split(rng_key)
             r = jax.random.uniform(sub, (cfg.N, cfg.N), dtype)

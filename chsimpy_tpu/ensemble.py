@@ -207,7 +207,9 @@ class EnsembleSolver:
                 'A0': jnp.asarray(self.A0s),
                 'A1': jnp.asarray(self.A1s),
                 'kappa_tilde': kts,
-                **{k: base[k] for k in ('CeS', 'CoS', 'CeTS', 'CoTS')}}
+                **{k: base[k] for k in ('CeS', 'CoS', 'CeTS', 'CoTS',
+                                        'sobol_sv', 'sobol_shift',
+                                        'sobol_base')}}
 
     def _shard(self, tree):
         if self.mesh is None:

@@ -186,6 +186,75 @@ def split_tree(N: int, levels: int, dtype=jnp.float64):
     return conv(_split_tree_np(N, levels))
 
 
+# --- Hou odd-branch recursion -----------------------------------------
+#
+# Every odd block of the split tree is a scaled DCT-IV:
+#     B[m, j] = alpha * cos(pi (2j+1)(2m+1) / (4M)),   alpha = sqrt(2/N)
+# (top level: rows C[1::2] of the N-point orthonormal matrix; the form is
+# invariant under the even-branch recursion).  Hou's recursion (1987)
+# reduces it to a HALF-COST pipeline instead of a dense (M, M) matmul:
+#     u    = 2 cos(theta_j) * v          theta_j = pi(2j+1)/(4M)
+#     Y    = DCT-II_M(u)                  (recursively foldable!)
+#     z[m] = Y[m] * r[m]                  r folds 1/s_m, the m=0 half,
+#                                         and alpha into one row scale
+#     O[m] = z[m] - O[m-1]  ==  (-1)^m cumsum_m((-1)^m z[m])
+# The alternating cumsum measured 0.17 ms vs the 0.64 ms (2048,2048)@
+# (2048,4096) HIGH matmul it replaces on the v5e chip (round-4 probe), so
+# the recursion wins wherever the inner DCT's folded cost + the cumsum is
+# below the dense block.  An odd "spec" in a tree is therefore EITHER a
+# dense matrix or a dict {'d': dscale (M,), 'tree': inner DCT-II tree,
+# 'r': rscale (M,)}; every apply function below handles both, so the
+# permuted / folded / pencil route variants inherit the recursion
+# unchanged (the odd outputs stay in natural order within their block).
+
+
+def _alt_cumsum(z, axis):
+    """O[m] = sum_{k<=m} (-1)^(m-k) z[k] along ``axis``."""
+    n = z.shape[axis]
+    shape = [1] * z.ndim
+    shape[axis] = n
+    signs = jnp.asarray((-1.0) ** np.arange(n), z.dtype).reshape(shape)
+    return signs * jnp.cumsum(signs * z, axis=axis)
+
+
+def _alt_cumsum_rev(y, axis):
+    """Transpose of :func:`_alt_cumsum`:
+    (T^T y)[m] = (-1)^m sum_{k>=m} (-1)^k y[k]."""
+    n = y.shape[axis]
+    shape = [1] * y.ndim
+    shape[axis] = n
+    signs = jnp.asarray((-1.0) ** np.arange(n), y.dtype).reshape(shape)
+    rev = (slice(None),) * axis + (slice(None, None, -1),)
+    return signs * (jnp.cumsum((signs * y)[rev], axis=axis))[rev]
+
+
+def _hou_col(spec, v, precision):
+    """Odd-spec application contracting axis 0 (column stage)."""
+    u = spec['d'][:, None] * v
+    Y = _apply_split(spec['tree'], u, precision)
+    return _alt_cumsum(spec['r'][:, None] * Y, axis=0)
+
+
+def _hou_col_t(spec, y, precision):
+    """Transpose of :func:`_hou_col` (inverse column stage)."""
+    w = spec['r'][:, None] * _alt_cumsum_rev(y, axis=0)
+    return spec['d'][:, None] * _apply_split_t(spec['tree'], w, precision)
+
+
+def _hou_row(spec, v, precision):
+    """Odd-spec application contracting the LAST axis (row stage)."""
+    u = spec['d'][None, :] * v
+    Y = _apply_split_right(spec['tree'], u, precision)
+    return _alt_cumsum(spec['r'][None, :] * Y, axis=v.ndim - 1)
+
+
+def _hou_row_t(spec, y, precision):
+    """Transpose of :func:`_hou_row`."""
+    w = spec['r'][None, :] * _alt_cumsum_rev(y, axis=y.ndim - 1)
+    return spec['d'][None, :] * _apply_split_t_right(spec['tree'], w,
+                                                     precision)
+
+
 def _apply_split(tree, x, precision):
     """C_block @ x, contracting over axis 0 (x: (n, M))."""
     if not isinstance(tree, tuple):
@@ -193,7 +262,9 @@ def _apply_split(tree, x, precision):
     n = x.shape[0]
     top, bot = x[:n // 2], x[n // 2:][::-1]
     even = _apply_split(tree[0], top + bot, precision)
-    odd = jnp.matmul(tree[1], top - bot, precision=precision)
+    v = top - bot
+    odd = (_hou_col(tree[1], v, precision) if isinstance(tree[1], dict)
+           else jnp.matmul(tree[1], v, precision=precision))
     # interleave rows [e0, o0, e1, o1, ...]
     return jnp.stack([even, odd], axis=1).reshape(n, x.shape[1])
 
@@ -203,8 +274,38 @@ def _apply_split_t(tree, y, precision):
     if not isinstance(tree, tuple):
         return jnp.matmul(tree.T, y, precision=precision)
     u = _apply_split_t(tree[0], y[0::2], precision)
-    v = jnp.matmul(tree[1].T, y[1::2], precision=precision)
+    yo = y[1::2]
+    v = (_hou_col_t(tree[1], yo, precision) if isinstance(tree[1], dict)
+         else jnp.matmul(tree[1].T, yo, precision=precision))
     return jnp.concatenate([u + v, (u - v)[::-1]], axis=0)
+
+
+def _apply_split_right(tree, x, precision):
+    """x @ C_block^T, contracting the LAST axis, NATURAL (interleaved)
+    output order — the row-stage twin of :func:`_apply_split` (used by
+    the Hou inner transforms, which need natural order for the cumsum)."""
+    if not isinstance(tree, tuple):
+        return _mm_nt(x, tree, precision)
+    n = x.shape[-1]
+    top, bot = x[..., :n // 2], x[..., n // 2:][..., ::-1]
+    even = _apply_split_right(tree[0], top + bot, precision)
+    v = top - bot
+    odd = (_hou_row(tree[1], v, precision) if isinstance(tree[1], dict)
+           else _mm_nt(v, tree[1], precision))
+    return jnp.stack([even, odd], axis=-1).reshape(
+        x.shape[:-1] + (n,))
+
+
+def _apply_split_t_right(tree, y, precision):
+    """y @ C_block, last axis, natural input order — transpose of
+    :func:`_apply_split_right`."""
+    if not isinstance(tree, tuple):
+        return jnp.matmul(y, tree, precision=precision)
+    u = _apply_split_t_right(tree[0], y[..., 0::2], precision)
+    yo = y[..., 1::2]
+    v = (_hou_row_t(tree[1], yo, precision) if isinstance(tree[1], dict)
+         else jnp.matmul(yo, tree[1], precision=precision))
+    return jnp.concatenate([u + v, (u - v)[..., ::-1]], axis=-1)
 
 
 def dct2_split(U, tree, precision=jax.lax.Precision.HIGHEST,
@@ -232,7 +333,9 @@ def _apply_split_perm(tree, x, precision):
     n = x.shape[0]
     top, bot = x[:n // 2], x[n // 2:][::-1]
     even = _apply_split_perm(tree[0], top + bot, precision)
-    odd = jnp.matmul(tree[1], top - bot, precision=precision)
+    v = top - bot
+    odd = (_hou_col(tree[1], v, precision) if isinstance(tree[1], dict)
+           else jnp.matmul(tree[1], v, precision=precision))
     return jnp.concatenate([even, odd], axis=0)
 
 
@@ -243,7 +346,9 @@ def _apply_split_t_perm(tree, y, precision):
         return jnp.matmul(tree.T, y, precision=precision)
     n2 = y.shape[0] // 2
     u = _apply_split_t_perm(tree[0], y[:n2], precision)
-    v = jnp.matmul(tree[1].T, y[n2:], precision=precision)
+    yo = y[n2:]
+    v = (_hou_col_t(tree[1], yo, precision) if isinstance(tree[1], dict)
+         else jnp.matmul(tree[1].T, yo, precision=precision))
     return jnp.concatenate([u + v, (u - v)[::-1]], axis=0)
 
 
@@ -285,7 +390,9 @@ def _apply_split_perm_right(tree, x, precision):
     n = x.shape[-1]
     top, bot = x[..., :n // 2], x[..., n // 2:][..., ::-1]
     even = _apply_split_perm_right(tree[0], top + bot, precision)
-    odd = _mm_nt(top - bot, tree[1], precision)
+    v = top - bot
+    odd = (_hou_row(tree[1], v, precision) if isinstance(tree[1], dict)
+           else _mm_nt(v, tree[1], precision))
     return jnp.concatenate([even, odd], axis=-1)
 
 
@@ -296,7 +403,9 @@ def _apply_split_t_perm_right(tree, y, precision):
         return jnp.matmul(y, tree, precision=precision)
     n2 = y.shape[-1] // 2
     u = _apply_split_t_perm_right(tree[0], y[..., :n2], precision)
-    v = jnp.matmul(y[..., n2:], tree[1], precision=precision)
+    yo = y[..., n2:]
+    v = (_hou_row_t(tree[1], yo, precision) if isinstance(tree[1], dict)
+         else jnp.matmul(yo, tree[1], precision=precision))
     return jnp.concatenate([u + v, (u - v)[..., ::-1]], axis=-1)
 
 

@@ -82,3 +82,30 @@ def test_lcg_has_no_stream():
 def test_unknown_generator():
     with pytest.raises(ValueError):
         rng.FieldGenerator('nope', 8, 1)
+
+
+def test_device_sobol_stream_bitexact():
+    """ops/sobol.py closed form vs the scipy engine: any window of the
+    scrambled sequence, including across fast_forward, bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.stats import qmc
+
+    from chsimpy_tpu.ops import sobol as sobol_ops
+
+    N, seed = 16, 2023
+    sv, shift = sobol_ops.sobol_tables(N, seed)
+    svj, shj = jnp.asarray(sv), jnp.asarray(shift)
+    fn = jax.jit(lambda s: sobol_ops.sobol_points(svj, shj, s, N))
+
+    e = qmc.Sobol(d=N, seed=seed)
+    ref = e.random(64)  # 64 points = 4 windows of N
+    for w in range(4):
+        dev = np.asarray(fn(jnp.asarray(w * N, jnp.uint32)))
+        np.testing.assert_array_equal(dev, ref[w * N:(w + 1) * N])
+
+    # across a fast_forward (the checkpoint-restore path)
+    e2 = qmc.Sobol(d=N, seed=seed)
+    e2.fast_forward(37)
+    np.testing.assert_array_equal(
+        np.asarray(fn(jnp.asarray(37, jnp.uint32))), e2.random(N))
