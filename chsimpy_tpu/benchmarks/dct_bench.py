@@ -101,6 +101,29 @@ def _roundtrip_fns(N, dtype):
                 tree, precision=prec)
         fns[f'split{lv}permfold-high'] = chain(body_fold, tree_f)
 
+    # Hou odd-branch recursion (round 4): the top odd blocks become
+    # diag -> half-size DCT-II -> row-scale -> alternating cumsum
+    # (ops/dct.py).  hou_min sets the smallest odd block Hou'd: 2048
+    # engages one block at N=4096 (the 2/3-of-the-matmul-FLOPs one),
+    # 1024 also the next level (and the top block at N=2048)
+    for lv in (3, 4, 5):
+        for hmin, tag in ((2048, ''), (1024, '1k')):
+            htree = dct_ops.hou_tree(N, lv, dtype, hou_min=hmin)
+
+            def body_hou(x, C, tree):
+                prec = jax.lax.Precision.HIGH
+                return dct_ops.idct2_split_perm(
+                    dct_ops.dct2_split_perm(x, tree, precision=prec),
+                    tree, precision=prec)
+            fns[f'hou{lv}perm{tag}-high'] = chain(body_hou, htree)
+
+            def body_houf(x, C, tree):
+                prec = jax.lax.Precision.HIGH
+                return dct_ops.idct2_split_perm_folded(
+                    dct_ops.dct2_split_perm_folded(x, tree, precision=prec),
+                    tree, precision=prec)
+            fns[f'hou{lv}permfold{tag}-high'] = chain(body_houf, htree)
+
     tree2 = dct_ops.split_tree(N, 2, dtype)
 
     # the pre-round-2.5 form of the permuted route: second 1-D pass via

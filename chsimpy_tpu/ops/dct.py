@@ -177,13 +177,81 @@ def _split_tree_np(N: int, levels: int):
     return rec(C, levels)
 
 
+def _tree_to_device(t, dtype):
+    if isinstance(t, tuple):
+        return (_tree_to_device(t[0], dtype), _tree_to_device(t[1], dtype))
+    if isinstance(t, dict):
+        return {'d': jnp.asarray(t['d'], dtype),
+                'tree': _tree_to_device(t['tree'], dtype),
+                'r': jnp.asarray(t['r'], dtype)}
+    return jnp.asarray(t, dtype)
+
+
 def split_tree(N: int, levels: int, dtype=jnp.float64):
     """Device block tree (pass as an argument, never a closure constant)."""
-    def conv(t):
-        if isinstance(t, tuple):
-            return (conv(t[0]), conv(t[1]))
-        return jnp.asarray(t, dtype)
-    return conv(_split_tree_np(N, levels))
+    return _tree_to_device(_split_tree_np(N, levels), dtype)
+
+
+def _hou_spec_np(B: np.ndarray) -> dict:
+    """Hou spec {'d', 'tree', 'r'} for a dense odd block B, validating
+    the scaled-DCT-IV form B[m, j] = alpha cos(pi(2j+1)(2m+1)/(4M))."""
+    M = B.shape[0]
+    j = np.arange(M, dtype=np.float64)
+    alpha = B[0, 0] / np.cos(np.pi / (4.0 * M))
+    ref = alpha * np.cos(np.pi * (2.0 * j[None, :] + 1.0)
+                         * (2.0 * j[:, None] + 1.0) / (4.0 * M))
+    if not np.allclose(B, ref, atol=1e-12):
+        raise ValueError("odd block is not a scaled DCT-IV; cannot Hou it")
+    d = 2.0 * np.cos(np.pi * (2.0 * j + 1.0) / (4.0 * M))
+    s = np.full(M, np.sqrt(2.0 / M))
+    s[0] = np.sqrt(1.0 / M)
+    r = alpha / s
+    r[0] *= 0.5
+    return d, r
+
+
+def _hou_inner_levels(M: int) -> int:
+    """Fold depth for the Hou inner DCT-II of size M (the measured
+    fold-depth table, PERFORMANCE.md)."""
+    if M >= 4096 and M % 16 == 0:
+        return 4
+    if M >= 2048 and M % 8 == 0:
+        return 3
+    if M % 4 == 0:
+        return 2
+    return 1 if M % 2 == 0 else 0
+
+
+@functools.lru_cache(maxsize=64)
+def _hou_tree_np(N: int, levels: int, hou_min: int):
+    """Split tree whose odd blocks of size >= hou_min are Hou specs
+    (dense matrix replaced by diag-scale -> inner half-size DCT-II ->
+    row-scale -> alternating cumsum; see the Hou block comment).  The
+    inner DCT-II trees recurse through this same builder, so nested odd
+    blocks above the threshold are Hou'd too."""
+    C = _dct_matrix_np(N)
+
+    def rec(Mtx, lv):
+        n = Mtx.shape[1]
+        if lv == 0 or n % 2:
+            return Mtx
+        even = rec(Mtx[0::2, :n // 2], lv - 1)
+        B = Mtx[1::2, :n // 2]
+        M = B.shape[0]
+        if M >= hou_min and M % 2 == 0:
+            d, r = _hou_spec_np(B)
+            inner = _hou_tree_np(M, _hou_inner_levels(M), hou_min)
+            return (even, {'d': d, 'tree': inner, 'r': r})
+        return (even, B)
+
+    return rec(C, levels)
+
+
+def hou_tree(N: int, levels: int, dtype=jnp.float64, hou_min: int = 2048):
+    """Device tree for the Hou-recursion split route — a drop-in
+    replacement for :func:`split_tree` (same block order, same apply
+    functions; odd blocks >= hou_min run the cumsum pipeline)."""
+    return _tree_to_device(_hou_tree_np(N, levels, hou_min), dtype)
 
 
 # --- Hou odd-branch recursion -----------------------------------------
@@ -473,12 +541,16 @@ def dct2_split_perm_folded(V, tree, precision=jax.lax.Precision.HIGHEST,
     n = V.shape[0]
     top, bot = V[:n // 2], V[n // 2:]
     even = _apply_split_perm(tree[0], top + bot, precision)
-    odd = jnp.matmul(tree[1], top - bot, precision=precision)
+    v = top - bot
+    odd = (_hou_col(tree[1], v, precision) if isinstance(tree[1], dict)
+           else jnp.matmul(tree[1], v, precision=precision))
     X = constrain(jnp.concatenate([even, odd], axis=0))
     m = X.shape[-1]
     left, right = X[..., :m // 2], X[..., m // 2:]
     even = _apply_split_perm_right(tree[0], left + right, precision)
-    odd = _mm_nt(left - right, tree[1], precision)
+    v = left - right
+    odd = (_hou_row(tree[1], v, precision) if isinstance(tree[1], dict)
+           else _mm_nt(v, tree[1], precision))
     return jnp.concatenate([even, odd], axis=-1)
 
 
@@ -491,11 +563,15 @@ def idct2_split_perm_folded(X, tree, precision=jax.lax.Precision.HIGHEST,
         raise ValueError("folded split variants need levels >= 1")
     n2 = X.shape[0] // 2
     u = _apply_split_t_perm(tree[0], X[:n2], precision)
-    v = jnp.matmul(tree[1].T, X[n2:], precision=precision)
+    yo = X[n2:]
+    v = (_hou_col_t(tree[1], yo, precision) if isinstance(tree[1], dict)
+         else jnp.matmul(tree[1].T, yo, precision=precision))
     U = constrain(jnp.concatenate([u + v, u - v], axis=0))
     m2 = U.shape[-1] // 2
     u = _apply_split_t_perm_right(tree[0], U[..., :m2], precision)
-    v = jnp.matmul(U[..., m2:], tree[1], precision=precision)
+    yo = U[..., m2:]
+    v = (_hou_row_t(tree[1], yo, precision) if isinstance(tree[1], dict)
+         else jnp.matmul(yo, tree[1], precision=precision))
     return jnp.concatenate([u + v, u - v], axis=-1)
 
 

@@ -578,3 +578,65 @@ def test_fold_field_pinned_depth_bit_identity():
     fol.solve_or_resume(30)
     np.testing.assert_array_equal(np.asarray(fol.solution.U),
                                   np.asarray(nat.solution.U))
+
+
+@pytest.mark.parametrize('N,levels,hou_min', [
+    (64, 2, 16), (64, 3, 16), (128, 3, 32), (256, 4, 64)])
+def test_hou_tree_exactness(N, levels, hou_min):
+    """The Hou odd-branch recursion (diag -> half-size DCT-II ->
+    row-scale -> alternating cumsum) must be an exact DCT: forward
+    matches scipy, every route variant (natural, permuted, folded,
+    pencil-order inverse) roundtrips at the f64 representation floor."""
+    import jax
+    from scipy.fft import dctn
+
+    prec = jax.lax.Precision.HIGHEST
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(N, N))
+    xj = jnp.asarray(x)
+    tree = dct_ops.hou_tree(N, levels, hou_min=hou_min)
+    # at least one odd block must actually be a Hou spec
+    def has_hou(t):
+        if isinstance(t, tuple):
+            return has_hou(t[0]) or has_hou(t[1])
+        return isinstance(t, dict)
+    assert has_hou(tree)
+
+    ref = dctn(x, norm='ortho')
+    X = np.asarray(dct_ops.dct2_split(xj, tree, precision=prec))
+    np.testing.assert_allclose(X, ref, rtol=0, atol=1e-12)
+    back = np.asarray(dct_ops.idct2_split(jnp.asarray(X), tree,
+                                          precision=prec))
+    np.testing.assert_allclose(back, x, rtol=0, atol=1e-12)
+
+    Xp = dct_ops.dct2_split_perm(xj, tree, precision=prec)
+    np.testing.assert_allclose(
+        np.asarray(dct_ops.idct2_split_perm(Xp, tree, precision=prec)),
+        x, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(dct_ops.idct2_split_perm_pencil(Xp, tree,
+                                                   precision=prec)),
+        x, rtol=0, atol=1e-12)
+    # folded variants stay bit-identical to perm composed with fold1
+    Xf = dct_ops.dct2_split_perm_folded(dct_ops.fold1(xj), tree,
+                                        precision=prec)
+    np.testing.assert_array_equal(np.asarray(Xf), np.asarray(Xp))
+    Uf = dct_ops.idct2_split_perm_folded(Xp, tree, precision=prec)
+    np.testing.assert_array_equal(
+        np.asarray(dct_ops.unfold1(Uf)),
+        np.asarray(dct_ops.idct2_split_perm(Xp, tree, precision=prec)))
+
+
+def test_hou_tree_matches_split_permutation():
+    """hou_tree emits the same block order as split_tree (drop-in): the
+    permuted spectra agree to f64 ULPs."""
+    import jax
+
+    prec = jax.lax.Precision.HIGHEST
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(128, 128)))
+    t_split = dct_ops.split_tree(128, 3)
+    t_hou = dct_ops.hou_tree(128, 3, hou_min=32)
+    a = np.asarray(dct_ops.dct2_split_perm(x, t_split, precision=prec))
+    b = np.asarray(dct_ops.dct2_split_perm(x, t_hou, precision=prec))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
