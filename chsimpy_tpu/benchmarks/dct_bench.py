@@ -175,6 +175,30 @@ def _roundtrip_fns(N, dtype):
                 ozaki.dct2_ozaki_fold(x, fs), fs)
         fns['ozaki-int8-fold'] = chain(body_oz_fold, *fstacks)
 
+        # recursive folded permuted route (round 4): MAC fractions 1/2,
+        # 3/8, 11/32 at L=1,2,3; no interleaves or strided gathers.
+        # The roundtrip is permuted-basis internally; chaining fwd+inv
+        # keeps the natural field fixed point like the other routes.
+        for L in (1, 2, 3):
+            rfl, rsc = ozaki.dct_rfold_slices(N, L)
+            flat = [a for pair in rfl for a in pair]
+
+            def body_rf(x, C, *flat, L=L, rsc=rsc):
+                rf = [(flat[2 * i], flat[2 * i + 1])
+                      for i in range(len(flat) // 2)]
+                return ozaki.idct2_ozaki_rfold(
+                    ozaki.dct2_ozaki_rfold(x, rf, rsc, L), rf, rsc, L)
+            fns[f'ozaki-rfold{L}'] = chain(body_rf, *flat)
+
+            def body_rfp(x, C, *flat, L=L, rsc=rsc):
+                rf = [(flat[2 * i], flat[2 * i + 1])
+                      for i in range(len(flat) // 2)]
+                return ozaki.idct2_ozaki_rfold(
+                    ozaki.dct2_ozaki_rfold(x, rf, rsc, L,
+                                           pallas_slice=True),
+                    rf, rsc, L, pallas_slice=True)
+            fns[f'ozaki-rfold{L}-pslice'] = chain(body_rfp, *flat)
+
         def body_oz_fg(x, C, Cs, CsT):
             # measured negative kept reproducible (PERFORMANCE.md): the
             # multi-contracting-dim group dots lose to the pairwise form

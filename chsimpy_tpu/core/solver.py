@@ -60,6 +60,27 @@ def resolve_fold_field(params: Parameters, grid_sharded: bool = None) -> bool:
     test for callers with their own runtime mesh (EnsembleSolver: an
     'ens'-only mesh keeps fields member-local and composes with the fold;
     an x/y grid axis does not).  Default: params.mesh_shape decides.
+
+    Why the two exclusions stand (round-4 adjudication of the
+    compose-or-prove question):
+
+    * mesh — the fold pairs row i with row N-1-i and column j with
+      column N-1-j.  Under the pencil layout (the sharded split route)
+      the COLUMN pairing crosses column shards, so a full fold would
+      reintroduce a cross-device permute per step on the layout
+      boundary it exists to remove.  A row-only fold IS local under
+      pencil and would recover about half the measured +3.6% — i.e.
+      <=2% of a path whose predicted ceiling is communication-bound
+      anyway (SCALING_PREDICTED); not worth forking the transform,
+      stats seam handling and checkpoint layouts into a third
+      (row-folded) variant.  Revisit only if real-hardware profiles
+      show the relayouts, not the wire, as the sharded bottleneck.
+    * pallas kernels — the banded stencil kernels key their one-sided
+      edge handling and halo exchange on spatially ADJACENT rows/cols;
+      the folded layout breaks adjacency at the two seams.  Fold-aware
+      kernels are a full rewrite of the halo logic to buy +3.6% on a
+      backend that is itself not the measured default (PERFORMANCE.md
+      'Pallas verdict') — recorded as not worth it.
     """
     ff = getattr(params, 'fold_field', None)
     if ff is not None:

@@ -502,6 +502,188 @@ def dct2_ozaki_fold(U, fs, constrain=lambda x: x, pallas_slice=False):
     return Y.at[0, 0].add(m * N)
 
 
+# ---------------------------------------------------------------------------
+# Recursive folded ozaki in the PERMUTED basis (round 4).
+#
+# Generalizes the level-1 fold to L levels (MAC fractions 1/2, 3/8, 11/32
+# of the unfolded route at L = 1, 2, 3 — the same tree as the f32 split
+# route) and emits the split route's permuted block order on both axes:
+# [E-leaf, O_L, ..., O_1] instead of interleaved even/odd.  The CH stepper
+# only touches spectral space elementwise, so the permutation is conjugated
+# into the coefficient grids once at setup (split_permute_grid) — and the
+# interleave relayouts AND the inverse's strided 0::2 gathers of the int8
+# stacks disappear (contiguous block slices instead).
+#
+# Exactness bookkeeping:
+# * forward — each row branch b is folded in f64 (VPU adds), sliced at its
+#   OWN scale su_b; no cross-branch adds ever happen (row blocks come from
+#   exactly one branch; the column fold adds int32 groups of the SAME
+#   branch), so per-branch scales are free.
+# * inverse — the spectral operand is sliced ONCE (branch sub-stacks are
+#   contiguous row/col slices of one stack), and all block matrices share
+#   ONE slice scale (dct_rfold_slices), so the cross-branch assemblies
+#   [a + b; flip(a - b)] are exact int32 adds.
+# * int32 bounds — a dot contracts over <= N/2^l rows (<= 65*65*N/2^l),
+#   <= 8 pairs join a group, and the L nested fold assemblies double
+#   values L times: bound 65*65*N*8*2^L / 2^l.  Worst case (l = L leaf,
+#   factor N*2^L/2^L = N) gives 65*65*8*N*2^L < 2^31 — N <= 8192 safe for
+#   L <= 2, N <= 4096 for L <= 3 (the resolver gates on this).
+# * renorm headroom — |V| <= 2^L * N/(16 sqrt 2) must stay < 2^13:
+#   N <= 23170 at L = 2, 11585 at L = 3.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _rfold_blocks_np(N: int, levels: int):
+    """Block matrices of the split tree in permuted branch order
+    [E-leaf, O_levels, ..., O_1], plus one shared slice scale."""
+    C = _dct_matrix_np(N)
+
+    def rec(M, lv):
+        n = M.shape[1]
+        if lv == 0 or n % 2:
+            return [np.ascontiguousarray(M)]
+        return rec(M[0::2, :n // 2], lv - 1) + [
+            np.ascontiguousarray(M[1::2, :n // 2])]
+
+    blocks = rec(C, levels)
+    amax = max(float(np.max(np.abs(b))) for b in blocks)
+    e = int(np.ceil(np.log2(amax))) + 2 if amax > 0 else 0
+    sc = float(2.0 ** e)
+    return blocks, sc
+
+
+@functools.lru_cache(maxsize=16)
+def _dct_rfold_slices_np(N: int, levels: int):
+    blocks, sc = _rfold_blocks_np(N, levels)
+    out = []
+    for b in blocks:
+        S, _ = slice_matrix_host(b, scale=sc)
+        out.append((np.stack(S), np.stack([s.T.copy() for s in S])))
+    return out, sc
+
+
+def dct_rfold_slices(N: int, levels: int):
+    """Device int8 slice stacks of the recursive fold blocks: list of
+    (block, block^T) stacks in branch order, plus the shared scale."""
+    np_blocks, sc = _dct_rfold_slices_np(N, levels)
+    return ([(jnp.asarray(s), jnp.asarray(st)) for s, st in np_blocks], sc)
+
+
+def _rfold_field(X, levels):
+    """Row-branch inputs [u_E, v_L, ..., v_1] of the recursive fold
+    (f64 VPU adds; total rows = N)."""
+    if levels == 0:
+        return [X]
+    n = X.shape[0]
+    top, bot = X[:n // 2], X[n // 2:][::-1]
+    return _rfold_field(top + bot, levels - 1) + [top - bot]
+
+
+def _rfold_groups_cols(groups, levels):
+    """Column branches of int32 group planes, same order (exact adds)."""
+    if levels == 0:
+        return [groups]
+    h = groups[0].shape[1] // 2
+    top = [g[:, :h] for g in groups]
+    bot = [g[:, h:][:, ::-1] for g in groups]
+    plus = [a + b for a, b in zip(top, bot)]
+    minus = [a - b for a, b in zip(top, bot)]
+    return _rfold_groups_cols(plus, levels - 1) + [minus]
+
+
+def dct2_ozaki_rfold(U, rf, m_scale, levels, constrain=lambda x: x,
+                     pallas_slice=False):
+    """Orthonormal 2-D DCT-II via recursive folded int8 passes, PERMUTED
+    block order on both axes (conjugate CHeig/Seig with
+    ``dct.split_permute_grid(..., levels)``).  ``rf`` is
+    :func:`dct_rfold_slices`(N, levels)[0]."""
+    U = constrain(U)
+    dtype = U.dtype
+    N = U.shape[-1]
+    m = jnp.mean(U)
+    sl = slice_field_pallas if pallas_slice else slice_field
+    n_field = min(N_SLICES, STAGE1_PAIR + 1)
+    ns = _n_slots()
+    branches = _rfold_field(U - m, levels)
+    row_blocks = []
+    for b, (Bs, _BsT) in zip(branches, rf):
+        us, su = sl(b, n_field)
+        g1 = _pair_groups(Bs, us, _dot_left, max_pair=STAGE1_PAIR)
+        col_blocks = []
+        for gc, (_Cs2, CsT2) in zip(_rfold_groups_cols(g1, levels), rf):
+            t = _renorm_to_slices(gc, n_slices=ns)
+            g2 = _pair_groups(t, CsT2, _dot_right, max_pair=STAGE2_PAIR)
+            z = _horner_f64(g2, jnp.dtype(dtype).type)
+            col_blocks.append(z * (su * jnp.asarray(
+                m_scale * m_scale * 2.0 ** RENORM_SHIFT, dtype)))
+        row_blocks.append(jnp.concatenate(col_blocks, axis=1))
+    Y = jax.lax.optimization_barrier(jnp.concatenate(row_blocks, axis=0))
+    # permuted index of spectral (0, 0) is 0 (the even-first recursion
+    # keeps index 0 in place)
+    return Y.at[0, 0].add(m * N)
+
+
+def _rfold_inv_rows(t, rf, levels, row0=0, size=None):
+    """Stage 1 of the inverse: int32 groups of C^T X from the sliced
+    permuted operand ``t`` ([S, N, N]); recursion assembles
+    [a + b; flip(a - b)] at the group level (exact: one slice scale, one
+    matrix scale)."""
+    if size is None:
+        size = t.shape[1]
+    h = size // 2
+    # branch layout within [row0, row0+size): [even-part..., O at this level]
+    if levels == 0:
+        Bs, BsT = rf[0]
+        sub = t[:, row0:row0 + size, :]
+        return _pair_groups(BsT, sub, _dot_left, max_pair=STAGE1_PAIR)
+    o_idx = levels  # rf index of this level's odd block: [E, O_L, .., O_1]
+    a = _rfold_inv_rows(t, rf[:o_idx], levels - 1, row0, h)
+    _Bs, BoT = rf[o_idx]
+    sub = t[:, row0 + h:row0 + size, :]
+    b = _pair_groups(BoT, sub, _dot_left, max_pair=STAGE1_PAIR)
+    return [jnp.concatenate([x + y, (x - y)[::-1, :]], axis=0)
+            for x, y in zip(a, b)]
+
+
+def _rfold_inv_cols(t, rf, levels, col0=0, size=None):
+    """Stage 2 of the inverse along columns (same recursion, axis 1)."""
+    if size is None:
+        size = t.shape[2]
+    h = size // 2
+    if levels == 0:
+        Bs, _BsT = rf[0]
+        sub = t[:, :, col0:col0 + size]
+        return _pair_groups(sub, Bs, _dot_right, max_pair=STAGE2_PAIR)
+    o_idx = levels
+    a = _rfold_inv_cols(t, rf[:o_idx], levels - 1, col0, h)
+    Bo, _BoT = rf[o_idx]
+    sub = t[:, :, col0 + h:col0 + size]
+    b = _pair_groups(sub, Bo, _dot_right, max_pair=STAGE2_PAIR)
+    return [jnp.concatenate([x + y, (x - y)[:, ::-1]], axis=1)
+            for x, y in zip(a, b)]
+
+
+def idct2_ozaki_rfold(X, rf, m_scale, levels, constrain=lambda x: x,
+                      pallas_slice=False):
+    """Orthonormal 2-D DCT-III from the permuted basis, inverse of
+    :func:`dct2_ozaki_rfold`.  ONE slice call, ONE renorm, contiguous
+    block reads (no strided gathers)."""
+    X = constrain(X)
+    dtype = X.dtype
+    d = X[0, 0]
+    N = X.shape[-1]
+    sl = slice_field_pallas if pallas_slice else slice_field
+    n_field = min(N_SLICES, STAGE1_PAIR + 1)
+    ys, sy = sl(X.at[0, 0].set(0.0), n_field)
+    g1 = _rfold_inv_rows(ys, rf, levels)
+    t = _renorm_to_slices(g1, n_slices=_n_slots())
+    g2 = _rfold_inv_cols(t, rf, levels)
+    u = _horner_f64(g2, jnp.dtype(dtype).type) * (sy * jnp.asarray(
+        m_scale * m_scale * 2.0 ** RENORM_SHIFT, dtype))
+    return jax.lax.optimization_barrier(u) + d / N
+
+
 def idct2_ozaki_fold(X, fs, constrain=lambda x: x, pallas_slice=False):
     """Orthonormal 2-D DCT-III, inverse of :func:`dct2_ozaki_fold`
     (folded int8 passes, natural layout in/out).

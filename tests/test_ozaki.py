@@ -283,3 +283,30 @@ def test_trimmed_slice_emission_is_prefix():
     t10 = np.asarray(ozaki._renorm_to_slices(groups, n_slices=10))
     t8 = np.asarray(ozaki._renorm_to_slices(groups, n_slices=8))
     np.testing.assert_array_equal(t10[:8], t8)
+
+
+@pytest.mark.parametrize('N,L', [(64, 1), (64, 3), (128, 2), (256, 3)])
+def test_dct2_ozaki_rfold_matches_scipy_permuted(N, L):
+    """Recursive folded route (permuted basis): forward equals the
+    permuted scipy spectrum at the f64 floor; roundtrip exact; 20
+    chained roundtrips stay in the (5,7)-cutoff contract class."""
+    from scipy.fft import dctn
+
+    from chsimpy_tpu.ops.dct import _split_permutation_np
+
+    rng = np.random.default_rng(11)
+    x = 0.875 * (1 + 0.01 * (rng.random((N, N)) - 0.5))  # solver-class
+    xj = jnp.asarray(x)
+    rf, sc = ozaki.dct_rfold_slices(N, L)
+    Y = np.asarray(ozaki.dct2_ozaki_rfold(xj, rf, sc, L))
+    perm = _split_permutation_np(N, L)
+    ref = dctn(x, norm='ortho')[np.ix_(perm, perm)]
+    np.testing.assert_allclose(Y, ref, rtol=0,
+                               atol=2e-15 * np.abs(ref).max())
+    back = np.asarray(ozaki.idct2_ozaki_rfold(jnp.asarray(Y), rf, sc, L))
+    np.testing.assert_allclose(back, x, rtol=0, atol=1e-12)
+    z = xj
+    for _ in range(20):
+        z = ozaki.idct2_ozaki_rfold(
+            ozaki.dct2_ozaki_rfold(z, rf, sc, L), rf, sc, L)
+    np.testing.assert_allclose(np.asarray(z), x, rtol=0, atol=1e-11)
