@@ -92,6 +92,35 @@ def resolve_fold_field(params: Parameters, grid_sharded: bool = None) -> bool:
             and resolve_transform(params) == 'split')
 
 
+def _resolve_rfold_levels(params: Parameters, grid_sharded: bool = None
+                          ) -> int:
+    """Fold depth of the recursive permuted ozaki route (0 = use the
+    level-1 natural fold / unfolded sharded route).
+
+    Engages for member-local ozaki at N >= 1024 — measured at N=4096 on
+    the chip (PERFORMANCE.md round 4): rfold 35-37 vs fold's 42.4 ms/rt.
+    N < 1024 keeps the level-1 natural fold: the canonical N=512 f64
+    validation run (exact stop step 1674 on chip) stays on its proven
+    path, and the small blocks the deeper recursion makes are below MXU
+    efficiency anyway.  Depth is clamped by the int32 group bound
+    65*65*8*N*2^L < 2^31 (ops/ozaki.py) and by divisibility."""
+    if grid_sharded is None:
+        grid_sharded = params.mesh_shape is not None
+    if grid_sharded or _resolve_transform(params) != 'ozaki':
+        return 0
+    N = params.N
+    if N < 1024:
+        return 0
+    # depth 2 is the measured optimum at N=4096 (35.1 ms/rt vs 36.9 at
+    # L=1 and 36.2 at L=3 — deeper folds shrink blocks below MXU
+    # efficiency, artifacts/r4/rfold_bench.log)
+    L = 0
+    while (L < 2 and N % (2 ** (L + 1)) == 0
+           and N * 2 ** (L + 1) <= 63550):
+        L += 1
+    return L
+
+
 def resolve_transform(params: Parameters) -> str:
     """Resolve Parameters.transform_backend ('auto' allowed) to the
     concrete route for this run ('matmul' | 'split' | 'fft' | 'ozaki')."""
@@ -280,6 +309,7 @@ class Solver:
             # the sharded route keeps the GSPMD-partitioned unfolded dots
             ozaki_fold=(resolve_transform(params) == 'ozaki'
                         and params.mesh_shape is None and N % 2 == 0),
+            ozaki_rfold_levels=_resolve_rfold_levels(params),
             # the split route shards via the pencil layout (2 transpose
             # all-to-alls per step), never the 2-D grid contraction
             pencil=(params.mesh_shape is not None

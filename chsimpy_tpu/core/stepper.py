@@ -116,6 +116,13 @@ class StepConfig:
     # transform == 'ozaki' and no grid mesh; sharded ozaki keeps the
     # GSPMD-partitioned unfolded dots)
     ozaki_fold: bool = False
+    # recursive folded ozaki in the PERMUTED basis (round 4): MAC
+    # fractions 1/2, 3/8, 11/32 at levels 1/2/3, no interleaves or
+    # strided gathers; overrides ozaki_fold when > 0 (leig is conjugated
+    # like the split route's).  Chip numbers in PERFORMANCE.md round 4;
+    # int32 bounds gate levels <= 3 at N <= 4096, <= 2 at 8192
+    # (ops/ozaki.py)
+    ozaki_rfold_levels: int = 0
     # pencil (1-D) sharded layout for the split route under a mesh: the
     # field is column-sharded over every device, the spectral image
     # row-sharded, each 1-D transform stage runs on a LOCAL axis, and the
@@ -166,11 +173,16 @@ def make_consts(cfg: StepConfig, delt: float,
     kt = cfg.kappa_tilde if kappa_tilde is None else kappa_tilde
     _z8 = jnp.zeros((0,), jnp.int8)
     fold_stacks = {k: _z8 for k in ('CeS', 'CoS', 'CeTS', 'CoTS')}
+    rf = ()
     if cfg.transform_backend == 'ozaki':
         # int8 slice stacks of C / C^T instead of the f64 matrix (saves
         # the 8x-larger emulated-f64 upload; the route never touches C)
         C = jnp.zeros((0,), dtype)
-        if cfg.ozaki_fold:
+        if cfg.ozaki_rfold_levels:
+            Cs = CsT = _z8
+            rf = ozaki_ops.dct_rfold_slices(cfg.N,
+                                            cfg.ozaki_rfold_levels)[0]
+        elif cfg.ozaki_fold:
             Cs = CsT = _z8
             fs = ozaki_ops.dct_fold_slices(cfg.N)
             fold_stacks = {k: fs[k] for k in fold_stacks}
@@ -180,6 +192,12 @@ def make_consts(cfg: StepConfig, delt: float,
         C = dct_ops.dct_matrix(cfg.N, dtype)
         Cs = CsT = _z8
     leig = coeffs_ops.eigenvalues(cfg.N, dtype)
+    if cfg.transform_backend == 'ozaki' and cfg.ozaki_rfold_levels:
+        # the recursive folded route emits the split route's permuted
+        # block order; conjugating leig keeps setup grids AND the
+        # adaptive on-device rebuild consistent (same trick as 'split')
+        leig = jnp.asarray(dct_ops.split_permute_grid(
+            np.asarray(leig), cfg.N, cfg.ozaki_rfold_levels), dtype)
     if cfg.transform_backend == 'split':
         # the split route works in a PERMUTED spectral basis (block order
         # instead of interleaved — drops a relayout per transform pass in
@@ -203,6 +221,7 @@ def make_consts(cfg: StepConfig, delt: float,
             # them when jitter_mode == 'device_sobol'
             'sobol_sv': _zu, 'sobol_shift': _zu,
             'sobol_base': jnp.zeros((), jnp.uint32),
+            'rf': rf,
             **fold_stacks}
 
 
@@ -211,7 +230,7 @@ CONSTS_BATCH_AXES = {'C': None, 'Cs': None, 'CsT': None, 'leig': None,
                      'Seig': None, 'A0': 0, 'A1': 0, 'kappa_tilde': 0,
                      'CeS': None, 'CoS': None, 'CeTS': None, 'CoTS': None,
                      'sobol_sv': None, 'sobol_shift': None,
-                     'sobol_base': None}
+                     'sobol_base': None, 'rf': None}
 
 
 def _nonlinear_term(cfg: StepConfig, consts, U, mesh=None):
@@ -555,7 +574,17 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
             # Pallas pass (measured 3.0 vs 4.6 ms per N=4096 field,
             # bit-identical slices — PERFORMANCE.md)
             pslice = cfg.kernel_backend == 'pallas'
-            if cfg.ozaki_fold:
+            if cfg.ozaki_rfold_levels:
+                L = cfg.ozaki_rfold_levels
+                sc = ozaki_ops.dct_rfold_scale(cfg.N, L)
+                hat_E = ozaki_ops.dct2_ozaki_rfold(
+                    EnergieEut, consts['rf'], sc, L, constrain=constrain,
+                    pallas_slice=pslice)
+                hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
+                U = ozaki_ops.idct2_ozaki_rfold(
+                    hat_U, consts['rf'], sc, L, constrain=constrain,
+                    pallas_slice=pslice)
+            elif cfg.ozaki_fold:
                 fs = {k: consts[k] for k in ('CeS', 'CoS', 'CeTS', 'CoTS')}
                 fs['scale'] = ozaki_ops.dct_fold_scale(cfg.N)
                 hat_E = ozaki_ops.dct2_ozaki_fold(EnergieEut, fs,
@@ -743,6 +772,11 @@ def make_entry_dct2(cfg: StepConfig, mesh=None):
     if cfg.transform_backend == 'fft':
         return lambda U, consts: dct_ops.dct2_fft(U)
     if cfg.transform_backend == 'ozaki':
+        if cfg.ozaki_rfold_levels:
+            L = cfg.ozaki_rfold_levels
+            sc = ozaki_ops.dct_rfold_scale(cfg.N, L)
+            return lambda U, consts: ozaki_ops.dct2_ozaki_rfold(
+                U, consts['rf'], sc, L)
         if cfg.ozaki_fold:
             def entry_fold(U, consts):
                 fs = {k: consts[k] for k in ('CeS', 'CoS', 'CeTS', 'CoTS')}

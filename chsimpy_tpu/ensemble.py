@@ -151,6 +151,8 @@ class EnsembleSolver:
             # sharding of the member fields (same rule as the solver)
             ozaki_fold=(solver_mod.resolve_transform(params) == 'ozaki'
                         and not _grid_sharded and N % 2 == 0),
+            ozaki_rfold_levels=solver_mod._resolve_rfold_levels(
+                params, grid_sharded=_grid_sharded),
             # grid-sharded member fields under the split route use the
             # pencil layout (vmap adds the member axis to the pencil
             # specs automatically; 2 transpose all-to-alls per step)
@@ -209,7 +211,7 @@ class EnsembleSolver:
                 'kappa_tilde': kts,
                 **{k: base[k] for k in ('CeS', 'CoS', 'CeTS', 'CoTS',
                                         'sobol_sv', 'sobol_shift',
-                                        'sobol_base')}}
+                                        'sobol_base', 'rf')}}
 
     def _shard(self, tree):
         if self.mesh is None:

@@ -564,10 +564,16 @@ def _dct_rfold_slices_np(N: int, levels: int):
 
 
 def dct_rfold_slices(N: int, levels: int):
-    """Device int8 slice stacks of the recursive fold blocks: list of
+    """Device int8 slice stacks of the recursive fold blocks: tuple of
     (block, block^T) stacks in branch order, plus the shared scale."""
     np_blocks, sc = _dct_rfold_slices_np(N, levels)
-    return ([(jnp.asarray(s), jnp.asarray(st)) for s, st in np_blocks], sc)
+    return (tuple((jnp.asarray(s), jnp.asarray(st))
+                  for s, st in np_blocks), sc)
+
+
+def dct_rfold_scale(N: int, levels: int) -> float:
+    """Static (host) shared scale of the recursive fold block slices."""
+    return _dct_rfold_slices_np(N, levels)[1]
 
 
 def _rfold_field(X, levels):

@@ -3,13 +3,22 @@ the reference chsimpy for golden-trace generation."""
 import yaml as _py
 
 
+# one shared Loader/Dumper pair for every YAML() instance: ruamel's
+# register_class adds to the representer CLASS registry, so classes
+# registered via one instance (e.g. Parameters in parameters.py) are
+# visible when another instance (Solution's) dumps them as nested values
+class _SharedLoader(_py.SafeLoader):
+    pass
+
+
+class _SharedDumper(_py.SafeDumper):
+    pass
+
+
 class YAML:
     def __init__(self, typ='safe'):
-        class _Loader(_py.SafeLoader):
-            pass
-
-        class _Dumper(_py.SafeDumper):
-            pass
+        _Loader = _SharedLoader
+        _Dumper = _SharedDumper
         self.Loader = _Loader
         self.Dumper = _Dumper
 

@@ -310,3 +310,35 @@ def test_dct2_ozaki_rfold_matches_scipy_permuted(N, L):
         z = ozaki.idct2_ozaki_rfold(
             ozaki.dct2_ozaki_rfold(z, rf, sc, L), rf, sc, L)
     np.testing.assert_allclose(np.asarray(z), x, rtol=0, atol=1e-11)
+
+
+def test_solver_rfold_trajectory_matches_matmul():
+    """At N >= 1024 the ozaki route auto-engages the recursive permuted
+    fold (rfold2); the solver trajectory must stay in the ozaki accuracy
+    class vs the f64 matmul route, through the permuted-leig adaptive
+    machinery as well."""
+    def run(tb, adaptive=False):
+        p = ct.Parameters()
+        p.N = 1024
+        p.ntmax = 4
+        p.no_gui = True
+        p.update_every = None
+        p.full_sim = True
+        p.generator = 'lcg'
+        p.kappa_tilde = 2.98911291966116e-4
+        p.transform_backend = tb
+        p.adaptive_time = adaptive
+        from chsimpy_tpu.core.solver import Solver
+        s = Solver(p)
+        if tb == 'ozaki':
+            assert s.cfg.ozaki_rfold_levels == 2
+        s.prepare()
+        s.solve_or_resume(4)
+        return s.solution
+
+    a = run('matmul')
+    b = run('ozaki')
+    np.testing.assert_allclose(np.asarray(b.U), np.asarray(a.U),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(b.timedata.data()[:, 1],
+                               a.timedata.data()[:, 1], rtol=1e-12)
