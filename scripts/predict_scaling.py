@@ -48,7 +48,7 @@ SINGLE_CHIP_MS = {
     ('float32', 2048): 0.91,
     ('float32', 4096): 5.32,
     ('float32', 8192): 41.6,
-    ('float64', 4096): 73.5,   # ozaki int8 route, folded (13.6 steps/s r3)
+    ('float64', 4096): 61.2,   # ozaki int8 route, rfold2 (16.3 steps/s r4)
 }
 
 ICI_LINK_GBS = 45.0      # one-way per link, v5e
