@@ -310,10 +310,16 @@ class Solver:
             ozaki_fold=(resolve_transform(params) == 'ozaki'
                         and params.mesh_shape is None and N % 2 == 0),
             ozaki_rfold_levels=_resolve_rfold_levels(params),
-            # the split route shards via the pencil layout (2 transpose
-            # all-to-alls per step), never the 2-D grid contraction
+            # the split and ozaki routes shard via the pencil layout (2
+            # transpose all-to-alls per step — for ozaki, of the int8
+            # slice stacks) instead of the 2-D grid contraction; needs
+            # even shards and the XLA kernels (the sharded Pallas
+            # stencils assume the grid layout)
             pencil=(params.mesh_shape is not None
-                    and resolve_transform(params) == 'split'),
+                    and resolve_transform(params) in ('split', 'ozaki')
+                    and N % (params.mesh_shape[0]
+                             * params.mesh_shape[1]) == 0
+                    and params.kernel_backend == 'xla'),
         )
 
         # optional 2-D grid sharding over a device mesh

@@ -443,9 +443,13 @@ def _grid_constrainer(mesh, axes=('x', 'y')):
     return constrain
 
 
-def _sharding_constrainer(sharding):
-    """Constrainer for an explicit NamedSharding (pencil layouts)."""
+def _sharding_constrainer(sharding, stack_sharding=None):
+    """Constrainer for an explicit NamedSharding (pencil layouts).
+    ``stack_sharding`` handles rank-3 operands (the ozaki int8 slice
+    stacks) with the same pencil orientation."""
     def constrain(x):
+        if stack_sharding is not None and x.ndim == 3:
+            return lax.with_sharding_constraint(x, stack_sharding)
         return lax.with_sharding_constraint(x, sharding)
     return constrain
 
@@ -458,9 +462,13 @@ def _layout_constrainers(cfg: StepConfig, mesh):
         return (lambda x: x), None
     if cfg.pencil:
         from ..parallel.sharding import (pencil_field_sharding,
-                                         pencil_spec_sharding)
-        return (_sharding_constrainer(pencil_field_sharding(mesh)),
-                _sharding_constrainer(pencil_spec_sharding(mesh)))
+                                         pencil_field_stack_sharding,
+                                         pencil_spec_sharding,
+                                         pencil_spec_stack_sharding)
+        return (_sharding_constrainer(pencil_field_sharding(mesh),
+                                      pencil_field_stack_sharding(mesh)),
+                _sharding_constrainer(pencil_spec_sharding(mesh),
+                                      pencil_spec_stack_sharding(mesh)))
     return _grid_constrainer(mesh), None
 
 
@@ -594,6 +602,22 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
                 U = ozaki_ops.idct2_ozaki_fold(hat_U, fs,
                                                constrain=constrain,
                                                pallas_slice=pslice)
+            elif cfg.pencil:
+                # pencil-sharded ozaki: the mid int8 slice stacks cross
+                # the mesh in ONE transpose all-to-all each way (exactly
+                # one f64-field-equivalent of bytes: 8 int8 slots) and
+                # every int8 dot contracts a local axis — 8x less wire
+                # than the GSPMD-partitioned 2-D contraction
+                sc = ozaki_ops.dct_scale(cfg.N)
+                hat_E = c_spec(ozaki_ops.dct2_ozaki(
+                    EnergieEut, consts['Cs'], consts['CsT'], sc,
+                    constrain=constrain, constrain_mid=c_spec,
+                    pallas_slice=pslice))
+                hat_U = c_spec((state.hat_U + Seig * hat_E) / CHeig)
+                U = ozaki_ops.idct2_ozaki(
+                    hat_U, consts['Cs'], consts['CsT'], sc,
+                    constrain=c_spec, constrain_mid=constrain,
+                    pallas_slice=pslice, pencil=True)
             else:
                 sc = ozaki_ops.dct_scale(cfg.N)
                 hat_E = ozaki_ops.dct2_ozaki(EnergieEut, consts['Cs'],
@@ -783,6 +807,11 @@ def make_entry_dct2(cfg: StepConfig, mesh=None):
                 fs['scale'] = ozaki_ops.dct_fold_scale(cfg.N)
                 return ozaki_ops.dct2_ozaki_fold(U, fs)
             return entry_fold
+        if cfg.pencil and mesh is not None:
+            _, c_spec = _layout_constrainers(cfg, mesh)
+            return lambda U, consts: c_spec(ozaki_ops.dct2_ozaki(
+                U, consts['Cs'], consts['CsT'], ozaki_ops.dct_scale(cfg.N),
+                constrain_mid=c_spec))
         return lambda U, consts: ozaki_ops.dct2_ozaki(
             U, consts['Cs'], consts['CsT'], ozaki_ops.dct_scale(cfg.N))
     return lambda U, consts: dct_ops.dct2(U, consts['C'])

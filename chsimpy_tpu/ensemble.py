@@ -86,9 +86,9 @@ class EnsembleSolver:
                      and 0.0 < params.jitter < 0.1)
         if jitter_on and params.generator == 'lcg':
             raise ValueError("jitter requires a sample stream; 'lcg' has none")
-        _grid_sharded = (mesh is not None and (
-            mesh.shape.get('x', 1) * mesh.shape.get('y', 1) > 1)
-            ) or params.mesh_shape is not None
+        _grid_devs = (mesh.shape.get('x', 1) * mesh.shape.get('y', 1)
+                      if mesh is not None else 1)
+        _grid_sharded = (_grid_devs > 1) or params.mesh_shape is not None
         fold_field = solver_mod.resolve_fold_field(
             params, grid_sharded=_grid_sharded)
         if fold_field:
@@ -153,11 +153,13 @@ class EnsembleSolver:
                         and not _grid_sharded and N % 2 == 0),
             ozaki_rfold_levels=solver_mod._resolve_rfold_levels(
                 params, grid_sharded=_grid_sharded),
-            # grid-sharded member fields under the split route use the
-            # pencil layout (vmap adds the member axis to the pencil
+            # grid-sharded member fields under the split/ozaki routes use
+            # the pencil layout (vmap adds the member axis to the pencil
             # specs automatically; 2 transpose all-to-alls per step)
-            pencil=(_grid_sharded
-                    and solver_mod.resolve_transform(params) == 'split'),
+            pencil=(_grid_sharded and N % _grid_devs == 0
+                    and solver_mod.resolve_transform(params)
+                    in ('split', 'ozaki')
+                    and params.kernel_backend == 'xla'),
         )
 
         self.chunk_size = max(1, int(params.chunk_size))

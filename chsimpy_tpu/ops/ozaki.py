@@ -358,11 +358,22 @@ def _horner_f64(groups, dtype=jnp.float64):
 
 
 def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
-                 fused_groups=False):
+                 fused_groups=False, constrain_mid=lambda t: t,
+                 right_first=False):
     """M_row @ U @ M_col with both stages in int8/int32.
 
     Ms_row/Ms_col are [S,N,N] int8 slice stacks of the two constant
-    matrices (same scale m_scale); U is the f64 field."""
+    matrices (same scale m_scale); U is the f64 field.
+
+    ``constrain_mid`` pins the renormalized int8 slice stack between the
+    stages — under the pencil layout (parallel/sharding.py) this is the
+    transpose all-to-all, moving 8 int8 slots = exactly one
+    f64-field-equivalent of bytes (8x less wire than the GSPMD-sharded
+    2-D contraction's partial-shard gathers).  ``right_first`` swaps the
+    stage order (column stage first) so the INVERSE contracts a local
+    axis on a row-sharded spectral operand — the same stage swap the
+    pencil split inverse uses.  Both stages contract exact int8/int32
+    arithmetic, so any partitioning of the dots is bit-identical."""
     dtype = U.dtype
     q = RENORM_SHIFT // 7
     # the pair cutoffs bound which slice indices any dot ever consumes:
@@ -378,14 +389,21 @@ def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
     # in principle — but stage 2 only ever reads slots i <= STAGE2_PAIR
     # (its pair cutoff), so emission stops there
     n_slots = min(N_SLICES + q, STAGE2_PAIR + 1)
-    if fused_groups:
+    if right_first:
+        # column stage first (pencil inverse): U @ Ms_col -> reshard ->
+        # Ms_row @ .  Exact stage swap of the separable transform; the
+        # int arithmetic makes it value-identical up to the final f64
+        # Horner's summation nesting.
+        g1 = _pair_groups(Us, Ms_col, _dot_right, max_pair=STAGE1_PAIR)
+        t = constrain_mid(_renorm_to_slices(g1, n_slices=n_slots))
+        g2 = _pair_groups(Ms_row, t, _dot_left, max_pair=STAGE2_PAIR)
+    elif fused_groups:
         g1 = _pair_groups_fused(Ms_row, Us, max_pair=STAGE1_PAIR)
-    else:
-        g1 = _pair_groups(Ms_row, Us, _dot_left, max_pair=STAGE1_PAIR)
-    t = _renorm_to_slices(g1, n_slices=n_slots)
-    if fused_groups:
+        t = constrain_mid(_renorm_to_slices(g1, n_slices=n_slots))
         g2 = _pair_groups_fused(t, Ms_col, max_pair=STAGE2_PAIR)
     else:
+        g1 = _pair_groups(Ms_row, Us, _dot_left, max_pair=STAGE1_PAIR)
+        t = constrain_mid(_renorm_to_slices(g1, n_slices=n_slots))
         g2 = _pair_groups(t, Ms_col, _dot_right, max_pair=STAGE2_PAIR)
     z = _horner_f64(g2, jnp.dtype(dtype).type)
     # total scale: (m_scale * su * 2^RENORM_SHIFT) from stage 1 * m_scale
@@ -397,32 +415,45 @@ def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
 
 
 def dct2_ozaki(U, Cs, CsT, m_scale, constrain=lambda x: x,
-               pallas_slice=False, fused_groups=False):
+               pallas_slice=False, fused_groups=False,
+               constrain_mid=lambda t: t):
     """Orthonormal 2-D DCT-II (C @ U @ C^T) via exact int8 passes.
     Matches :func:`chsimpy_tpu.ops.dct.dct2` to ~1e-15 relative.
 
     The field's mean rides around the int8 path analytically
     (dct2(ones) = N e00): subtracting it shrinks the slice scale by the
     DC/fluctuation ratio, recovering deep-bit precision (see the cutoff
-    note above)."""
+    note above).
+
+    Pencil sharding: pass the SPECTRAL pencil constrainer as
+    ``constrain_mid`` — the row stage contracts the (local) row axis of
+    the column-sharded field, the int8 slice stack transposes in one
+    all-to-all, the column stage contracts locally."""
     U = constrain(U)
     N = U.shape[-1]
     m = jnp.mean(U)
     Y = _transform2d(U - m, Cs, CsT, m_scale, pallas_slice=pallas_slice,
-                     fused_groups=fused_groups)
+                     fused_groups=fused_groups, constrain_mid=constrain_mid)
     return Y.at[0, 0].add(m * N)
 
 
 def idct2_ozaki(X, Cs, CsT, m_scale, constrain=lambda x: x,
-                pallas_slice=False, fused_groups=False):
+                pallas_slice=False, fused_groups=False,
+                constrain_mid=lambda t: t, pencil=False):
     """Orthonormal 2-D DCT-III (C^T @ X @ C), inverse of
     :func:`dct2_ozaki`.  The DC coefficient is split off analytically
-    (idct2(e00) = ones/N) before slicing."""
+    (idct2(e00) = ones/N) before slicing.
+
+    ``pencil`` swaps the stage order (column stage first) so the
+    row-sharded spectral operand contracts a local axis;
+    ``constrain_mid`` then pins the mid int8 stack to the FIELD pencil
+    sharding (the transpose all-to-all back)."""
     X = constrain(X)
     N = X.shape[-1]
     d = X[0, 0]
     u = _transform2d(X.at[0, 0].set(0.0), CsT, Cs, m_scale,
-                     pallas_slice=pallas_slice, fused_groups=fused_groups)
+                     pallas_slice=pallas_slice, fused_groups=fused_groups,
+                     constrain_mid=constrain_mid, right_first=pencil)
     return u + d / N
 
 

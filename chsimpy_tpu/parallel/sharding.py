@@ -48,6 +48,18 @@ def pencil_spec_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(_flat_axes(mesh), None))
 
 
+def pencil_field_stack_sharding(mesh: Mesh) -> NamedSharding:
+    """Field pencil layout of an [S, rows, cols] stack (the ozaki int8
+    slice stacks): cols sharded, slot + row axes local."""
+    return NamedSharding(mesh, P(None, None, _flat_axes(mesh)))
+
+
+def pencil_spec_stack_sharding(mesh: Mesh) -> NamedSharding:
+    """Spectral pencil layout of an [S, rows, cols] stack: rows
+    sharded."""
+    return NamedSharding(mesh, P(None, _flat_axes(mesh), None))
+
+
 def shard_consts(consts: dict, mesh: Mesh, pencil: bool = False) -> dict:
     """Place the (N, N) coefficient grids on the field-appropriate
     sharding and replicate the DCT matrix / block tree / scalars.

@@ -293,3 +293,36 @@ def test_pencil_ensemble_matches_unsharded():
                                    rtol=0, atol=1e-13)
         np.testing.assert_allclose(a.timedata.data()[:, 1],
                                    b.timedata.data()[:, 1], rtol=1e-12)
+
+
+def test_pencil_ozaki_matches_single_device():
+    """f64 ozaki under the pencil layout: exact int8/int32 stages are
+    partitioning-invariant, so the sharded trajectory matches a
+    1-device pencil run to DC-mean psum ULPs; the audit must show the
+    slice-stack all-to-alls and no full-field all-gather."""
+    from chsimpy_tpu.core.solver import Solver
+    from chsimpy_tpu.parallel.audit import audit_sharded_chunk
+
+    def run(mesh_shape):
+        p = _pencil_params(mesh_shape, precision='float64')
+        p.transform_backend = 'ozaki'
+        s = Solver(p)
+        assert s.cfg.pencil == (mesh_shape is not None)
+        s.prepare()
+        s.solve_or_resume(30)
+        return s.solution
+
+    base = run((1, 1))
+    sh = run((2, 4))
+    np.testing.assert_allclose(np.asarray(sh.U), np.asarray(base.U),
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(sh.timedata.data()[:, 1],
+                               base.timedata.data()[:, 1], rtol=1e-12)
+
+    res = audit_sharded_chunk(64, (2, 4), 'float64', transform='ozaki')
+    assert res['per_op_bytes'].get('all-to-all', 0) > 0
+    # wire volume: the mid stacks are 8 int8 slots = one f64 field
+    # equivalent per transform, two transforms per step; allow the
+    # small DC/amax all-reduces on top but nothing near the grid
+    # route's partial-shard gathers (7.8x the field, PERFORMANCE.md)
+    assert res['total_bytes'] < 3 * res['field_bytes']
