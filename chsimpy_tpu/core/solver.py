@@ -113,9 +113,12 @@ def _resolve_rfold_levels(params: Parameters, grid_sharded: bool = None
         return 0
     # depth 2 is the measured optimum at N=4096 (35.1 ms/rt vs 36.9 at
     # L=1 and 36.2 at L=3 — deeper folds shrink blocks below MXU
-    # efficiency, artifacts/r4/rfold_bench.log)
+    # efficiency, artifacts/r4/rfold_bench.log); at N=8192 depth 2 OOMs
+    # the 16 GB HBM (live int32 group planes of the (L+1)^2 block pairs)
+    # while depth 1 fits at 2.48 steps/s (artifacts/r4/mem_f64_8192.json)
+    max_L = 2 if N <= 4096 else 1
     L = 0
-    while (L < 2 and N % (2 ** (L + 1)) == 0
+    while (L < max_L and N % (2 ** (L + 1)) == 0
            and N * 2 ** (L + 1) <= 63550):
         L += 1
     return L
