@@ -1,0 +1,6 @@
+import os
+from chsimpy_tpu.experiment import main
+os.chdir('artifacts/r4/uq')
+main(['-R', '16', '--A-source', 'sobol', '--A-seed', '85972', '-N', '512',
+      '--cinit', '0.89', '--threshold', '0.89', '--precision', 'float32',
+      '--export-csv', 'E2', '-f', 'tpu'])
