@@ -26,7 +26,8 @@ def test_two_process_ensemble_bit_matches_single(tmp_path):
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     with open(out) as f:
         artifact = json.load(f)
-    assert artifact['bit_exact_vs_single_process'] is True
+    assert artifact['fields_bit_exact_vs_single_process'] is True
+    assert artifact['E_max_rel_vs_single_process'] <= 1e-12
     assert artifact['processes'] == 2
 
 
@@ -45,6 +46,28 @@ def test_four_process_ensemble_bit_matches_single(tmp_path):
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     with open(out) as f:
         artifact = json.load(f)
-    assert artifact['bit_exact_vs_single_process'] is True
+    assert artifact['fields_bit_exact_vs_single_process'] is True
+    assert artifact['E_max_rel_vs_single_process'] <= 1e-12
     assert artifact['processes'] == 4
     assert artifact['devices_per_process'] == 2
+
+
+def test_two_process_pencil_split_fields_bit_match(tmp_path):
+    """The pencil layout cross-process: its transpose all-to-alls ride
+    the DCN stand-in (gloo); member fields must stay BIT-identical to
+    the single-process 8-device run (every matmul contracts a local
+    axis), with the E trace at cross-process all-reduce ULPs."""
+    out = tmp_path / 'dist_pencil.json'
+    env = dict(os.environ)
+    env.pop('XLA_FLAGS', None)
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, 'scripts', 'run_distributed_2proc.py'),
+         '--transform', 'split', '--out', str(out)],
+        env=env, capture_output=True, text=True, timeout=570)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    with open(out) as f:
+        artifact = json.load(f)
+    assert artifact['transform'] == 'split'
+    assert artifact['fields_bit_exact_vs_single_process'] is True
+    assert artifact['E_max_rel_vs_single_process'] <= 1e-12
