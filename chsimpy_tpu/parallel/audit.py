@@ -112,6 +112,55 @@ def audit_sharded_chunk(N: int = 256, mesh_shape=(2, 4),
     }
 
 
+def audit_ensemble_chunk(N: int = 256, n_ens: int = 8,
+                         precision: str = 'float32') -> dict:
+    """Compile the vmapped ensemble chunk sharded over an ('ens',)-only
+    mesh and inventory its cross-member collectives.
+
+    The member programs are independent except for the vmapped
+    while_loop's continue predicate (ANY member active) — the audit
+    quantifies exactly how many bytes per step the ensemble axis moves
+    over DCN (expected: scalar-class, i.e. the axis scales at the
+    straggler bound, not a wire bound)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..params import Parameters
+    from .. import material
+    from ..ensemble import EnsembleSolver
+    from .mesh import make_ensemble_mesh
+
+    p = Parameters()
+    p.N = N
+    p.precision = precision
+    p.kappa_tilde = 2.98911291966116e-4
+    p.no_gui = True
+    mesh = make_ensemble_mesh(n_ens, (1, 1))
+    A0 = material.A0(p.temp)
+    A1 = material.A1(p.temp)
+    pairs = np.array([[A0 * (1 + 0.0005 * i), A1 * (1 - 0.0005 * i)]
+                      for i in range(n_ens)])
+    ens = EnsembleSolver(p, pairs, mesh=mesh)
+    ens.prepare()
+    lowered = ens._run.lower(ens._states, jnp.asarray(4, jnp.int32),
+                             ens._consts, ens._null_jbuf)
+    hlo = lowered.compile().as_text()
+    records = collect_collectives(hlo)
+    per_op = defaultdict(int)
+    for r in records:
+        per_op[r['op']] += r['bytes']
+    field_bytes = N * N * np.dtype(precision).itemsize
+    return {
+        'records': records,
+        'per_op_bytes': dict(per_op),
+        'total_bytes': int(sum(r['bytes'] for r in records)),
+        'field_bytes': int(field_bytes),
+        'max_single_collective_bytes': int(
+            max((r['bytes'] for r in records), default=0)),
+        'n_collectives': len(records),
+    }
+
+
 def main(argv=None):
     import argparse
     import json

@@ -326,3 +326,18 @@ def test_pencil_ozaki_matches_single_device():
     # small DC/amax all-reduces on top but nothing near the grid
     # route's partial-shard gathers (7.8x the field, PERFORMANCE.md)
     assert res['total_bytes'] < 3 * res['field_bytes']
+
+
+def test_ensemble_axis_is_wire_free():
+    """The multi-host ensemble axis: members are independent programs
+    except the vmapped while_loop's continue predicate — the audited
+    cross-member traffic must be scalar-class (measured: ONE 1-byte
+    all-reduce per step), so ensemble scaling is bounded by the
+    stop-step straggler spread, not the wire (the committed round-4 UQ
+    artifact measures that spread at mean/max = 99.2%)."""
+    from chsimpy_tpu.parallel.audit import audit_ensemble_chunk
+
+    r = audit_ensemble_chunk(64, 8, 'float32')
+    assert r['total_bytes'] <= 16, r['per_op_bytes']
+    assert r['per_op_bytes'].get('all-gather', 0) == 0
+    assert r['per_op_bytes'].get('all-to-all', 0) == 0
