@@ -1,4 +1,7 @@
 """Canonical N=512 f64 default-config run on the chip: exact stop step."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.dirname(_os.path.abspath(__file__)))))
 import numpy as np
 import jax
 import chsimpy_tpu as ct

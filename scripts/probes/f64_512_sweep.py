@@ -1,4 +1,5 @@
-"""f64 N=8192 single-chip variants: find one that fits + its rate."""
+"""f64 N=512 ozaki variants on the chip (the canonical validation
+config's transform): rate + exact-stop gate per variant."""
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
     _os.path.dirname(_os.path.abspath(__file__)))))
@@ -13,40 +14,34 @@ from chsimpy_tpu.core.solver import Solver
 assert jax.devices()[0].platform != 'cpu'
 out = []
 
-def probe(tag, rfold, transform='ozaki'):
+def probe(tag, rfold):
     orig = solver_mod._resolve_rfold_levels
     solver_mod._resolve_rfold_levels = lambda p, grid_sharded=None: rfold
     try:
         p = ct.Parameters()
-        p.N = 8192
-        p.precision = 'float64'
+        p.N = 512
         p.no_gui = True
         p.update_every = None
         p.full_sim = True
         p.generator = 'lcg'
         p.kappa_tilde = 2.98911291966116e-4
-        p.transform_backend = transform
-        p.chunk_size = 5
-        row = {'variant': tag}
-        try:
-            s = Solver(p)
-            row['rfold'] = s.cfg.ozaki_rfold_levels
-            row['fold'] = s.cfg.ozaki_fold
-            s.prepare()
-            s.solve_or_resume(3)
-            t0 = time.perf_counter()
-            s.solve_or_resume(5)
-            dt = time.perf_counter() - t0
-            row['steps_per_s'] = 5.0 / dt
-        except Exception as e:
-            msg = str(e)
-            row['error'] = msg[:200]
+        p.chunk_size = 200
+        row = {'variant': tag, 'rfold': rfold}
+        s = Solver(p)
+        s.prepare()
+        s.solve_or_resume(201)
+        t0 = time.perf_counter()
+        s.solve_or_resume(400)
+        dt = time.perf_counter() - t0
+        row['steps_per_s'] = 400.0 / dt
         print(json.dumps(row), flush=True)
         out.append(row)
     finally:
         solver_mod._resolve_rfold_levels = orig
 
-probe('ozaki-rfold1', 1)
-probe('ozaki-fold1-natural', 0)
-with open('artifacts/r4/mem_f64_8192.json', 'w') as f:
+probe('fold1-natural (current default)', 0)
+probe('rfold1', 1)
+probe('rfold2', 2)
+probe('rfold3', 3)
+with open('artifacts/r4/f64_512_sweep.json', 'w') as f:
     json.dump(out, f, indent=1)

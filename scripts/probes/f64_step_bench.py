@@ -1,6 +1,9 @@
 """f64 N=4096 full-solver step rate on the chip: rfold2 (new auto) vs
 the level-1 fold (forced via ozaki_rfold_levels=0 path by pinning N<1024
 rule? no — construct StepConfig directly through Solver params)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.dirname(_os.path.abspath(__file__)))))
 import time
 import numpy as np
 import jax

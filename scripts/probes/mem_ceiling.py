@@ -2,6 +2,9 @@
 
 Runs 3 warm + 10 timed steps per config; records steps/s or the OOM
 error.  v5e: 16 GB HBM."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.dirname(_os.path.abspath(__file__)))))
 import json
 import time
 import numpy as np

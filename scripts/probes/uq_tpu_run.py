@@ -1,3 +1,6 @@
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.dirname(_os.path.abspath(__file__)))))
 import os
 from chsimpy_tpu.experiment import main
 os.chdir('artifacts/r4/uq')
