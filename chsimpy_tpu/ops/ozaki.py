@@ -262,6 +262,31 @@ def slice_field_pallas(x, n_slices: int = N_SLICES):
     return out, scale
 
 
+def _dc_add(Y, v):
+    """Y with v added at [0, 0] — as exact mask arithmetic, NOT a
+    scatter: under vmap on real TPU, the batched scatter/gather pair the
+    ``.at[0, 0]`` forms lower to miscomputes when the forward and
+    inverse fuse into one program (measured round 4: vmapped fold/rfold
+    roundtrips off by 5e-10..9e-3 — DC-scale — while each half alone is
+    exact; scripts/probes/vmap_oz_transform.py / vmap_oz_rfold.py), and
+    the batched scatter also serializes (the 40x vmapped-f64 ensemble
+    slowdown).  Mask arithmetic is bit-identical semantics: +0.0
+    everywhere else, *1.0 everywhere else."""
+    n, m = Y.shape[-2], Y.shape[-1]
+    mask = ((jnp.arange(n) == 0).astype(Y.dtype)[:, None]
+            * (jnp.arange(m) == 0).astype(Y.dtype)[None, :])
+    return Y + v * mask
+
+
+def _dc_zero(X):
+    """X with [0, 0] zeroed — mask arithmetic, not a scatter (see
+    :func:`_dc_add`)."""
+    n, m = X.shape[-2], X.shape[-1]
+    keep = 1.0 - ((jnp.arange(n) == 0).astype(X.dtype)[:, None]
+                  * (jnp.arange(m) == 0).astype(X.dtype)[None, :])
+    return X * keep
+
+
 def _pair_groups(a_slices, b_slices, contract, max_pair=MAX_PAIR):
     """All slice products a_i . b_j with i+j <= max_pair, summed into
     int32 groups by k = i+j.  ``contract(a, b)`` is one int8->int32 dot.
@@ -434,7 +459,7 @@ def dct2_ozaki(U, Cs, CsT, m_scale, constrain=lambda x: x,
     m = jnp.mean(U)
     Y = _transform2d(U - m, Cs, CsT, m_scale, pallas_slice=pallas_slice,
                      fused_groups=fused_groups, constrain_mid=constrain_mid)
-    return Y.at[0, 0].add(m * N)
+    return _dc_add(Y, m * N)
 
 
 def idct2_ozaki(X, Cs, CsT, m_scale, constrain=lambda x: x,
@@ -451,7 +476,7 @@ def idct2_ozaki(X, Cs, CsT, m_scale, constrain=lambda x: x,
     X = constrain(X)
     N = X.shape[-1]
     d = X[0, 0]
-    u = _transform2d(X.at[0, 0].set(0.0), CsT, Cs, m_scale,
+    u = _transform2d(_dc_zero(X), CsT, Cs, m_scale,
                      pallas_slice=pallas_slice, fused_groups=fused_groups,
                      constrain_mid=constrain_mid, right_first=pencil)
     return u + d / N
@@ -530,7 +555,7 @@ def dct2_ozaki_fold(U, fs, constrain=lambda x: x, pallas_slice=False):
     Y = _interleave(_interleave(zee, zeo, axis=1),
                     _interleave(zoe, zoo, axis=1), axis=0)
     Y = jax.lax.optimization_barrier(Y)
-    return Y.at[0, 0].add(m * N)
+    return _dc_add(Y, m * N)
 
 
 # ---------------------------------------------------------------------------
@@ -658,7 +683,7 @@ def dct2_ozaki_rfold(U, rf, m_scale, levels, constrain=lambda x: x,
     Y = jax.lax.optimization_barrier(jnp.concatenate(row_blocks, axis=0))
     # permuted index of spectral (0, 0) is 0 (the even-first recursion
     # keeps index 0 in place)
-    return Y.at[0, 0].add(m * N)
+    return _dc_add(Y, m * N)
 
 
 def _rfold_inv_rows(t, rf, levels, row0=0, size=None):
@@ -712,7 +737,7 @@ def idct2_ozaki_rfold(X, rf, m_scale, levels, constrain=lambda x: x,
     N = X.shape[-1]
     sl = slice_field_pallas if pallas_slice else slice_field
     n_field = min(N_SLICES, STAGE1_PAIR + 1)
-    ys, sy = sl(X.at[0, 0].set(0.0), n_field)
+    ys, sy = sl(_dc_zero(X), n_field)
     g1 = _rfold_inv_rows(ys, rf, levels)
     t = _renorm_to_slices(g1, n_slices=_n_slots())
     g2 = _rfold_inv_cols(t, rf, levels)
@@ -735,7 +760,7 @@ def idct2_ozaki_fold(X, fs, constrain=lambda x: x, pallas_slice=False):
     d = X[0, 0]
     n_field = min(N_SLICES, STAGE1_PAIR + 1)
     sl = slice_field_pallas if pallas_slice else slice_field
-    ys, sy = sl(X.at[0, 0].set(0.0), n_field)
+    ys, sy = sl(_dc_zero(X), n_field)
     # stage 1: x = C^T y; x_top = Ce^T yE + Co^T yO,
     #          x_bot = flip(Ce^T yE - Co^T yO)
     yE = ys[:, 0::2, :]

@@ -342,3 +342,41 @@ def test_solver_rfold_trajectory_matches_matmul():
                                rtol=0, atol=1e-12)
     np.testing.assert_allclose(b.timedata.data()[:, 1],
                                a.timedata.data()[:, 1], rtol=1e-12)
+
+
+def test_vmapped_ozaki_emits_no_scatter():
+    """Round-4 chip regression: the DC split's .at[0,0] scatter/gather
+    pair miscomputed under vmap on real TPU once the forward and inverse
+    fused into one program (roundtrip off by 5e-10..9e-3 — DC-scale —
+    while each half alone was exact), and the batched scatter serialized
+    the vmapped f64 ensemble ~40x.  The DC ops are now mask arithmetic;
+    this pins that no scatter/dynamic-update-slice appears in the
+    vmapped transform programs (checkable on any backend)."""
+    import jax
+    import jax.numpy as jnp
+
+    N, B = 64, 3
+    x = jnp.ones((B, N, N), jnp.float64) * 0.875
+    Cs, CsT, sc = ozaki.dct_slices(N)
+    fs = ozaki.dct_fold_slices(N)
+    fsd = {k: fs[k] for k in ('CeS', 'CoS', 'CeTS', 'CoTS')}
+    fsd['scale'] = fs['scale']
+    rf, rsc = ozaki.dct_rfold_slices(N, 2)
+
+    def rt_unf(u):
+        return ozaki.idct2_ozaki(ozaki.dct2_ozaki(u, Cs, CsT, sc),
+                                 Cs, CsT, sc)
+
+    def rt_fold(u):
+        return ozaki.idct2_ozaki_fold(ozaki.dct2_ozaki_fold(u, fsd), fsd)
+
+    def rt_rfold(u):
+        return ozaki.idct2_ozaki_rfold(
+            ozaki.dct2_ozaki_rfold(u, rf, rsc, 2), rf, rsc, 2)
+
+    for name, fn in (('unfold', rt_unf), ('fold', rt_fold),
+                     ('rfold', rt_rfold)):
+        hlo = jax.jit(jax.vmap(fn)).lower(x).as_text()
+        assert 'scatter' not in hlo, name
+        assert 'dynamic-update-slice' not in hlo, name
+        assert 'dynamic_update_slice' not in hlo, name
