@@ -11,7 +11,16 @@ spinodal EPP roots, separation time) and aggregates to
 TPU-native execution: the runs are ONE vmapped SPMD program (EnsembleSolver)
 instead of a process pool — the member axis shards over the devices/hosts of
 an 'ens' mesh axis.  ``-P/--processes`` retains its meaning of "parallel
-width": it caps how many members run per device batch (default: all)."""
+width": it caps how many members run per device batch (default: all).
+
+The per-member HOST work — bz2 CSV export, PNG render, and the sympy
+nsolve post-processing — is what the reference amortized inside its pool
+workers (``experiment.py:84-126``).  Measured at N=512 it is ~1 s/member
+(export 0.8 s + sympy 0.23 s) against ~0.12 s/member of device solve, so
+the vmapped driver would be ~8x host-bound if it ran that pipeline
+serially.  It therefore runs in a small spawn-based process pool
+(:class:`HostPipeline`), overlapped with the next device batch;
+``--host-procs`` sizes it (auto: one per CPU)."""
 
 from __future__ import annotations
 
@@ -34,6 +43,7 @@ class ExperimentParams:
         self.A_source = 'uniform'
         self.A_seed = None
         self.live_view = False
+        self.host_procs = -1
 
 
 class ExperimentCLIParser:
@@ -58,6 +68,12 @@ class ExperimentCLIParser:
         group.add_argument('--A-seed', default=85972, type=int,
                            help='RNG seed for generating random A0, A1 '
                                 '(if --A-source is not file-based)')
+        group.add_argument('--host-procs', default=-1, type=int,
+                           help='Worker processes for the per-member host '
+                                'pipeline (CSV/YAML export, PNG render, '
+                                'sympy post-processing), overlapped with '
+                                'the device solve. -1 = one per CPU, '
+                                '0/1 = synchronous')
         group.add_argument('--live-view', action='store_true',
                            help='Live map of ensemble member 0, refreshed '
                                 'about every --update-every steps (beyond-'
@@ -86,6 +102,7 @@ class ExperimentCLIParser:
         exp_params.processes = args.processes
         exp_params.A_seed = args.A_seed
         exp_params.live_view = args.live_view
+        exp_params.host_procs = args.host_procs
         if exp_params.live_view and params.update_every is None:
             self.cliparser.parser.error(
                 'ERROR: --live-view requires --update-every.')
@@ -184,6 +201,82 @@ def render_member(params, sol: Solution, file_id: str):
     render_solution_png(params, sol, f"{file_id}.png")
 
 
+def _host_pool_init():
+    """Worker initializer: pin any accidental jax use to the CPU backend.
+
+    Workers only run numpy/sympy/pandas/matplotlib code, so jax's backend
+    stays uninitialized — but this environment's TPU tunnel admits a single
+    client process, so a stray device op in a worker must never reach for
+    it (the config API wins over the JAX_PLATFORMS env var here)."""
+    try:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+    except Exception:
+        pass
+
+
+def _host_member_task(rp, sol, run_id, fac_A0, fac_A1):
+    """The per-member host pipeline: export + render + sympy postproc.
+
+    This is the work the reference does inside each pool worker
+    (``chsimpy/experiment.py:104-126``); everything it touches is plain
+    numpy/sympy/matplotlib, no device state."""
+    export_member(rp, sol, rp.file_id)
+    render_member(rp, sol, rp.file_id)
+    return postprocess_member(rp, sol, run_id, fac_A0, fac_A1)
+
+
+class HostPipeline:
+    """Parallel per-member host pipeline, overlapped with the device solve.
+
+    Submissions run in a spawn-based process pool (payloads are plain
+    Parameters + host-materialized Solutions — both picklable); with
+    ``procs <= 1`` everything degrades to synchronous in-process calls.
+    ``drain()`` blocks until every submitted member is finished and
+    returns the accumulated result rows in submission order — call it
+    before anything that must see a complete result set (checkpoint
+    headers, the final aggregation)."""
+
+    def __init__(self, procs=-1, seed_rows=()):
+        self.rows = [tuple(r) for r in seed_rows]
+        self._futs = []
+        self._pool = None
+        if procs is None or procs < 0:
+            import os
+            procs = os.cpu_count() or 1
+        if procs > 1:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+            self._pool = ProcessPoolExecutor(
+                max_workers=procs, mp_context=mp.get_context('spawn'),
+                initializer=_host_pool_init)
+
+    def submit(self, rp, sol, run_id, fac_A0, fac_A1, on_done=None):
+        if self._pool is None:
+            self.rows.append(_host_member_task(rp, sol, run_id,
+                                               fac_A0, fac_A1))
+            if on_done is not None:
+                on_done()
+            return
+        fut = self._pool.submit(_host_member_task, rp, sol, run_id,
+                                fac_A0, fac_A1)
+        if on_done is not None:
+            fut.add_done_callback(lambda _f: on_done())
+        self._futs.append(fut)
+
+    def drain(self):
+        """Wait for all in-flight members; rows stay in submission order."""
+        for fut in self._futs:
+            self.rows.append(fut.result())
+        self._futs.clear()
+        return self.rows
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
+
+
 def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
                          mesh=None, progress=True):
     """Run the full ensemble; returns (results rows, file_id)."""
@@ -205,7 +298,7 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
     if width is None or width <= 0:
         width = nr_items
 
-    results = []
+    seed_rows = []
     file_id = init_params.file_id
 
     # --- checkpoint/resume of the experiment itself (long UQ runs):
@@ -239,8 +332,11 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
                 "this command line generates (check --A-source, "
                 "--A-seed, the jitter-Arel bounds, --independent, and "
                 "the temperature/A-fits)")
-        results = [tuple(r) for r in extra['results']]
+        seed_rows = [tuple(r) for r in extra['results']]
         resume_start = int(extra['start'])
+
+    sink = HostPipeline(getattr(exp_params, 'host_procs', -1),
+                        seed_rows=seed_rows)
 
     def _json_rows(rows):
         return [[None if v is None else float(v) for v in r] for r in rows]
@@ -296,6 +392,27 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
             pbar = tqdm(total=nr_items, desc='ensemble runs')
         except ImportError:
             pass
+    try:
+        results = _run_batches(
+            init_params, sink, A_pairs, facs, A_list, U_init,
+            mesh, nr_items, width, resume_start, resumed_ens, plan_digest,
+            file_id, ckpt_file, ckpt_every, on_chunk, view, pbar,
+            _json_rows)
+    finally:
+        sink.close()
+    if pbar is not None:
+        pbar.close()
+    if view is not None:
+        view.finish()
+    return results
+
+
+def _run_batches(init_params, sink, A_pairs, facs, A_list,
+                 U_init, mesh, nr_items, width, resume_start, resumed_ens,
+                 plan_digest, file_id, ckpt_file, ckpt_every, on_chunk,
+                 view, pbar, _json_rows):
+    """Device-batch loop of :func:`run_experiment_batch`: solve each vmapped
+    batch, hand every finished member to the host pipeline ``sink``."""
     for start in range(0, nr_items, width):
         stop = min(start + width, nr_items)
         if start + width <= resume_start:
@@ -316,12 +433,15 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
                 c = int(np.max(ens_._host_leaves(states.computed_steps)[0]))
                 if c - _last[0] >= ckpt_every:
                     from .checkpoint import save_ensemble_checkpoint
+                    # the header must carry a COMPLETE result set for the
+                    # batches before _start: wait out any still-running
+                    # host-pipeline members (they are from earlier batches)
                     save_ensemble_checkpoint(
                         ckpt_file, ens_, extra_header={
                             'kind': 'experiment',
                             'nr_items': nr_items, 'width': width,
                             'A_plan': plan_digest, 'start': _start,
-                            'results': _json_rows(results)})
+                            'results': _json_rows(sink.drain())})
                     _last[0] = c
 
         if start == resume_start and resumed_ens is not None:
@@ -344,25 +464,26 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
                                             init_params.update_every))
             ens.prepare()
             sols = ens.solve_or_resume(init_params.ntmax, on_chunk=hook)
+        on_done = None
+        if pbar is not None:
+            def on_done():
+                # memory readout per tick (reference experiment.py:212-214);
+                # ticks fire as each member's host pipeline completes, like
+                # the reference's imap_unordered progress
+                pbar.set_postfix({'Mem': sysinfo.get_mem_usage_all()},
+                                 refresh=False)
+                pbar.update(1)
         for i, sol in enumerate(sols):
             run_id = start + i
             rp = init_params.deepcopy()
             rp.file_id = f"{file_id}-run{run_id}"
-            export_member(rp, sol, rp.file_id)
-            render_member(rp, sol, rp.file_id)
             fac0 = None if A_list is not None else facs[run_id, 0]
             fac1 = None if A_list is not None else facs[run_id, 1]
-            results.append(postprocess_member(
-                init_params, sol, run_id, fac0, fac1))
-            if pbar is not None:
-                # memory readout per tick (reference experiment.py:212-214)
-                pbar.set_postfix({'Mem': sysinfo.get_mem_usage_all()})
-                pbar.update(1)
-    if pbar is not None:
-        pbar.close()
-    if view is not None:
-        view.finish()
-    return results
+            # sol is host-materialized (EnsembleSolver.solutions pulls the
+            # device leaves); the submit overlaps this member's export/
+            # render/sympy work with the NEXT device batch
+            sink.submit(rp, sol, run_id, fac0, fac1, on_done=on_done)
+    return sink.drain()
 
 
 def aggregate_results(results, file_id):

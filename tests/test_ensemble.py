@@ -471,3 +471,38 @@ def test_experiment_periodic_checkpoint_written(tmp_path, monkeypatch):
     assert extra['nr_items'] == 2 and extra['start'] == 0
     steps = _np.asarray(ens._host_leaves(ens._states.computed_steps)[0])
     assert (steps > 1).all()
+
+
+def test_experiment_host_pipeline_pool_matches_sync(tmp_path, monkeypatch):
+    """The parallel host pipeline (export/render/postproc in spawn
+    workers, overlapped with the device batches) produces exactly the
+    rows and files of the synchronous path."""
+    import filecmp
+
+    def run(sub, procs):
+        d = tmp_path / sub
+        d.mkdir()
+        monkeypatch.chdir(d)
+        p = base_params(N=32, ntmax=20)
+        p.file_id = 'hp'
+        p.yaml = True
+        p.export_csv = 'E2'
+        p.compress_csv = False
+        ep = ExperimentParams()
+        ep.runs = 3
+        ep.A_seed = 85972
+        ep.processes = 2          # two device batches -> overlap engages
+        ep.host_procs = procs
+        return run_experiment_batch(p, ep, progress=False), d
+
+    rows_sync, d_sync = run('sync', 1)
+    rows_pool, d_pool = run('pool', 2)
+    assert len(rows_pool) == 3
+    # identical rows, in submission (run-id) order
+    for a, b in zip(rows_sync, rows_pool):
+        assert a == b
+    for r in range(3):
+        fa = d_sync / f'hp-run{r}.solution.E2.csv'
+        fb = d_pool / f'hp-run{r}.solution.E2.csv'
+        assert fa.exists() and fb.exists()
+        assert filecmp.cmp(str(fa), str(fb), shallow=False)
