@@ -57,7 +57,8 @@ class EnsembleSolver:
     """
 
     def __init__(self, params: Parameters, A_pairs: np.ndarray,
-                 U_init: Optional[np.ndarray] = None, mesh=None):
+                 U_init: Optional[np.ndarray] = None, mesh=None,
+                 kappas: Optional[np.ndarray] = None):
         self.params = params
         A_pairs = np.asarray(A_pairs, dtype=np.float64)
         if A_pairs.ndim != 2 or A_pairs.shape[1] != 2:
@@ -65,9 +66,18 @@ class EnsembleSolver:
         self.R = A_pairs.shape[0]
         self.A0s = A_pairs[:, 0].copy()
         self.A1s = A_pairs[:, 1].copy()
-        self.kappas = np.array([
-            derive_member_constants(params, a0, a1)
-            for a0, a1 in zip(self.A0s, self.A1s)])
+        if kappas is not None:
+            # precomputed member kappa_tildes (the experiment driver solves
+            # the per-member sympy tangent in its host pool — 14.1 s serial
+            # for the canonical R=16 batch); must be the values
+            # derive_member_constants would return
+            self.kappas = np.asarray(kappas, dtype=np.float64).copy()
+            if self.kappas.shape != (self.R,):
+                raise ValueError("kappas must be (R,)")
+        else:
+            self.kappas = np.array([
+                derive_member_constants(params, a0, a1)
+                for a0, a1 in zip(self.A0s, self.A1s)])
         self.mesh = mesh
         N = params.N
 

@@ -205,9 +205,16 @@ def _host_pool_init():
     """Worker initializer: pin any accidental jax use to the CPU backend.
 
     Workers only run numpy/sympy/pandas/matplotlib code, so jax's backend
-    stays uninitialized — but this environment's TPU tunnel admits a single
-    client process, so a stray device op in a worker must never reach for
-    it (the config API wins over the JAX_PLATFORMS env var here)."""
+    stays uninitialized — but a TPU tunnel admits a single client process,
+    so a stray device op in a worker must never reach for it (the config
+    API wins over the JAX_PLATFORMS env var here).  The marker env var
+    lets :func:`run_experiment_batch` refuse recursive entry: a spawn
+    worker re-imports the user's __main__ script, and an UNGUARDED
+    experiment script (no ``if __name__ == '__main__'``) would otherwise
+    silently re-run the whole experiment — device solve included — in
+    every worker."""
+    import os
+    os.environ['CHSIMPY_TPU_HOST_WORKER'] = '1'
     try:
         import jax
         jax.config.update('jax_platforms', 'cpu')
@@ -271,15 +278,53 @@ class HostPipeline:
         self._futs.clear()
         return self.rows
 
+    def map(self, fn, items):
+        """Pool-map side work (e.g. the per-member sympy kappa solves)
+        through the same workers; synchronous when the pool is off."""
+        items = list(items)
+        if self._pool is None or len(items) < 2:
+            return [fn(x) for x in items]
+        return list(self._pool.map(fn, items))
+
     def close(self):
         if self._pool is not None:
             self._pool.shutdown(wait=True)
             self._pool = None
 
 
+def _member_kappa_task(args):
+    """One member's kappa_tilde from its (A0, A1) pair — the pool-friendly
+    form of :func:`chsimpy_tpu.ensemble.derive_member_constants` (sympy
+    common tangent, reference ``chsimpy/solution.py:39-48``)."""
+    from .ensemble import derive_member_constants
+    params, a0, a1 = args
+    return derive_member_constants(params, a0, a1)
+
+
+def _member_kappas(init_params, A_sub, sink):
+    """kappa_tilde per member of one batch, through the host pool.
+
+    The tangent solve is ~0.9 s/member serial (14.1 s of the canonical
+    R=16 experiment's 40.8 s wall); unique pairs are solved once."""
+    if init_params.kappa_tilde is not None:
+        return np.full(A_sub.shape[0], float(init_params.kappa_tilde))
+    uniq = list(dict.fromkeys((float(a0), float(a1)) for a0, a1 in A_sub))
+    vals = sink.map(_member_kappa_task,
+                    [(init_params, a0, a1) for a0, a1 in uniq])
+    table = dict(zip(uniq, vals))
+    return np.array([table[(float(a0), float(a1))] for a0, a1 in A_sub])
+
+
 def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
                          mesh=None, progress=True):
     """Run the full ensemble; returns (results rows, file_id)."""
+    import os
+    if os.environ.get('CHSIMPY_TPU_HOST_WORKER'):
+        raise RuntimeError(
+            "run_experiment_batch called inside a host-pipeline worker: "
+            "the experiment script was re-imported by the spawn pool. "
+            "Guard the script's entry point with if __name__ == "
+            "'__main__' (or pass --host-procs 1 to disable the pool).")
     if A_list is None:
         rand_values = generate_A_factors(exp_params)
         A0_base = init_params.func_A0(init_params.temp)
@@ -456,8 +501,9 @@ def _run_batches(init_params, sink, A_pairs, facs, A_list,
                                        preserve_stops=True)
         else:
             batch_params = init_params.deepcopy()
+            kappas = _member_kappas(init_params, A_pairs[start:stop], sink)
             ens = EnsembleSolver(batch_params, A_pairs[start:stop],
-                                 U_init=U_init, mesh=mesh)
+                                 U_init=U_init, mesh=mesh, kappas=kappas)
             if view is not None:
                 # refresh the view about every --update-every steps
                 ens.chunk_size = max(1, min(ens.chunk_size,
