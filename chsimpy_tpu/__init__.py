@@ -40,7 +40,12 @@ if _cache_dir and _cache_dir.lower() != 'off':
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update('jax_compilation_cache_dir', _cache_dir)
         _jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
-        _jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        # cache EVERY program, however fast its compile: on the remote
+        # (tunnel) backend even a trivial jit costs a ~0.45 s service
+        # round-trip, and ensemble setup runs ~33 of them — a 1.0 s
+        # threshold made every fresh process re-pay ~15 s (measured,
+        # artifacts/r4/uq_hostpipe_ab.json notes)
+        _jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
     except Exception:  # cache is an optimization, never a hard dependency
         pass
 
