@@ -128,6 +128,12 @@ FLAGS = [
          'default resolves per precision mode)',
          param='matmul_precision',
          choices=['highest', 'high', 'default'], default=None),
+    Flag(('--fwd-matmul-precision',), 'TPU',
+         'MXU pass count for the FORWARD (nonlinear-term) transform only; '
+         'the semi-implicit damping makes it far less error-sensitive '
+         'than the inverse (unset = same as --matmul-precision)',
+         param='fwd_matmul_precision',
+         choices=['highest', 'high', 'default'], default=None),
     # --- Input (reference cli_parser.py:88-94) ---
     Flag(('-p', '--parameter-file'), 'Input',
          'Input yaml file with parameter values (overwrites CLI '

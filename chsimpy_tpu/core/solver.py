@@ -130,6 +130,32 @@ def resolve_transform(params: Parameters) -> str:
     return _resolve_transform(params)
 
 
+def resolve_fwd_matmul_precision(params: Parameters) -> str:
+    """Forward-transform MXU precision (None = follow matmul_precision).
+
+    Measured adoption (round 4, chip — scripts/probes/fwd_precision*.py):
+    the forward DCT of the nonlinear term enters the update through the
+    semi-implicit damping Seig/CHeig, so a 1-pass bf16 forward keeps the
+    f32 E trace IN CLASS (N=2048 vs f64 truth: 2.863e-6 both ways;
+    canonical N=512: 1.4e-6 -> 2.0e-6) while the inverse — whose output
+    IS the field — stays at 3-pass.  N=4096 f32: 188.7 -> 225.4 steps/s
+    (+19%).  Auto engages only where measured free: float32, the split
+    route, N >= 2048, and ONLY when the user did not pin
+    --matmul-precision (an explicit precision request keeps the
+    transforms symmetric); N < 2048 keeps the documented stop-step
+    scatter band (the 1-pass forward widens it: canonical stop 1669 ->
+    1683).  float64 and the int8 ozaki route are untouched."""
+    fwd = getattr(params, 'fwd_matmul_precision', None)
+    if fwd is not None:
+        return fwd
+    if (params.precision == 'float32'
+            and getattr(params, 'matmul_precision', None) is None
+            and params.N >= 2048
+            and _resolve_transform(params) == 'split'):
+        return 'default'
+    return None
+
+
 def _resolve_transform(params: Parameters) -> str:
     tb = getattr(params, 'transform_backend', 'auto') or 'auto'
     if tb == 'auto':
@@ -299,6 +325,7 @@ class Solver:
             transform_backend=resolve_transform(params),
             matmul_precision=params.matmul_precision or (
                 'high' if params.precision == 'float32' else 'highest'),
+            fwd_matmul_precision=resolve_fwd_matmul_precision(params),
             # f64 on TPU: restructured stats keep the 1e-10 E contract
             # (verified by on-chip golden replay); CPU f64 keeps the
             # reference summation order (bit-level validation path).

@@ -149,12 +149,25 @@ class StepConfig:
     # bf16, ~f32 accuracy), 'high' (3-pass, ~2x faster), 'default' (1-pass
     # bf16 — too lossy for the spectral update; exposed for experiments)
     matmul_precision: str = 'highest'
+    # MXU precision for the FORWARD transform (of the nonlinear term)
+    # only; None = matmul_precision.  The forward's spectral image enters
+    # the update scaled by Seig/CHeig — the semi-implicit damping — so it
+    # tolerates fewer passes than the inverse, whose output IS the field
+    # (sensitivity math + chip measurements in PERFORMANCE.md round 4)
+    fwd_matmul_precision: Optional[str] = None
 
     @property
     def mm_precision(self):
         return {'highest': jax.lax.Precision.HIGHEST,
                 'high': jax.lax.Precision.HIGH,
                 'default': jax.lax.Precision.DEFAULT}[self.matmul_precision]
+
+    @property
+    def fwd_mm_precision(self):
+        key = self.fwd_matmul_precision or self.matmul_precision
+        return {'highest': jax.lax.Precision.HIGHEST,
+                'high': jax.lax.Precision.HIGH,
+                'default': jax.lax.Precision.DEFAULT}[key]
 
     @property
     def jdtype(self):
@@ -543,11 +556,12 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
             # permuted spectral basis (see make_consts): transforms skip
             # the interleave relayout; Seig/CHeig are pre-permuted
             prec = cfg.mm_precision
+            fprec = cfg.fwd_mm_precision
             if cfg.fold_field:
                 # U/EnergieEut live in the level-1 folded layout: the
                 # level-1 reversal relayouts vanish (see ops/dct.py)
                 hat_E = dct_ops.dct2_split_perm_folded(
-                    EnergieEut, consts['tree'], precision=prec,
+                    EnergieEut, consts['tree'], precision=fprec,
                     constrain=constrain)
                 hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
                 U = dct_ops.idct2_split_perm_folded(
@@ -559,7 +573,7 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
                 # field sharding on the inverse); every matmul contracts
                 # a local axis
                 hat_E = c_spec(dct_ops.dct2_split_perm(
-                    EnergieEut, consts['tree'], precision=prec,
+                    EnergieEut, consts['tree'], precision=fprec,
                     constrain=c_spec))
                 hat_U = c_spec((state.hat_U + Seig * hat_E) / CHeig)
                 U = dct_ops.idct2_split_perm_pencil(
@@ -567,7 +581,7 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
                     constrain=constrain)
             else:
                 hat_E = dct_ops.dct2_split_perm(EnergieEut, consts['tree'],
-                                                precision=prec,
+                                                precision=fprec,
                                                 constrain=constrain)
                 hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
                 U = dct_ops.idct2_split_perm(hat_U, consts['tree'],
@@ -631,7 +645,7 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
                                           pallas_slice=pslice)
         else:
             prec = cfg.mm_precision
-            hat_E = dct_ops.dct2(EnergieEut, C, precision=prec,
+            hat_E = dct_ops.dct2(EnergieEut, C, precision=cfg.fwd_mm_precision,
                                  constrain=constrain)
             hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
             U = dct_ops.idct2(hat_U, C, precision=prec, constrain=constrain)

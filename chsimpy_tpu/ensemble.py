@@ -148,6 +148,8 @@ class EnsembleSolver:
             transform_backend=solver_mod.resolve_transform(params),
             matmul_precision=params.matmul_precision or (
                 'high' if params.precision == 'float32' else 'highest'),
+            fwd_matmul_precision=solver_mod.resolve_fwd_matmul_precision(
+                params),
             # f64 on TPU: restructured stats keep the 1e-10 E contract
             # (verified by on-chip golden replay); CPU f64 keeps the
             # reference summation order (bit-level validation path).

@@ -100,6 +100,10 @@ class Parameters:
     # mode (measured: same trace quality as 'highest' at ~1.8x speed) and
     # 'highest' in float64 mode
     matmul_precision: Optional[str] = None
+    # MXU pass count for the FORWARD (nonlinear-term) transform only; the
+    # semi-implicit damping Seig/CHeig makes the forward far less
+    # error-sensitive than the inverse (None = same as matmul_precision)
+    fwd_matmul_precision: Optional[str] = None
     # 2-D DCT route: 'matmul' (C·U·Cᵀ on the MXU; shards under a mesh),
     # 'fft' (Makhoul rFFT, O(N² log N) — measured faster at N>=1024 f32),
     # 'auto' resolves per precision/N/mesh (see core/solver.py)

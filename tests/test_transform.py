@@ -640,3 +640,52 @@ def test_hou_tree_matches_split_permutation():
     a = np.asarray(dct_ops.dct2_split_perm(x, t_split, precision=prec))
     b = np.asarray(dct_ops.dct2_split_perm(x, t_hou, precision=prec))
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+
+
+def test_resolve_fwd_matmul_precision_rules():
+    """Auto 1-pass forward engages only where chip-measured free: f32 +
+    split + N>=2048 + unpinned --matmul-precision (PERFORMANCE.md r4)."""
+    from chsimpy_tpu.core.solver import resolve_fwd_matmul_precision as r
+    p = ct.Parameters()
+    p.N = 4096
+    p.precision = 'float32'
+    assert r(p) == 'default'
+    p.N = 512                      # below the measured-free size
+    assert r(p) is None
+    p.N = 4096
+    p.matmul_precision = 'highest'  # user pinned accuracy: stay symmetric
+    assert r(p) is None
+    p.matmul_precision = None
+    p.precision = 'float64'        # validation mode untouched
+    assert r(p) is None
+    p.precision = 'float32'
+    p.fwd_matmul_precision = 'high'  # explicit always wins
+    assert r(p) == 'high'
+    p.fwd_matmul_precision = None
+    p.transform_backend = 'matmul'  # non-split route: symmetric
+    assert r(p) is None
+
+
+def test_fwd_precision_same_trajectory_when_symmetric():
+    """fwd_matmul_precision=None lowers to the identical program (the
+    property falls back to matmul_precision)."""
+    import jax
+
+    from chsimpy_tpu.core.solver import Solver
+    p = ct.Parameters()
+    p.N = 64
+    p.precision = 'float32'
+    p.no_gui = True
+    p.kappa_tilde = 2.98911291966116e-4
+    a = Solver(p).cfg
+    assert a.fwd_mm_precision == a.mm_precision
+    p2 = ct.Parameters()
+    p2.N = 64
+    p2.precision = 'float32'
+    p2.no_gui = True
+    p2.kappa_tilde = 2.98911291966116e-4
+    p2.matmul_precision = 'high'
+    p2.fwd_matmul_precision = 'default'
+    b = Solver(p2).cfg
+    assert b.fwd_mm_precision == jax.lax.Precision.DEFAULT
+    assert b.mm_precision == jax.lax.Precision.HIGH
