@@ -40,14 +40,14 @@ os.environ['XLA_FLAGS'] = (
     + f' --xla_force_host_platform_device_count={MAX_DEVICES}')
 os.environ['JAX_PLATFORMS'] = 'cpu'
 
-# measured single-chip ms/step (PERFORMANCE.md; f32@4096 is the round-3
-# fold-field-default official bench, 188.1 steps/s — the honest
-# denominator for "efficiency vs the best single chip" even though the
-# sharded run cannot use fold-field)
+# measured single-chip ms/step (PERFORMANCE.md; f32 rows carry the
+# round-4 asymmetric-forward default — 225.2 steps/s official bench at
+# 4096 — the honest denominator for "efficiency vs the best single
+# chip" even though the sharded run cannot use fold-field)
 SINGLE_CHIP_MS = {
     ('float32', 2048): 0.91,
-    ('float32', 4096): 5.32,
-    ('float32', 8192): 41.6,
+    ('float32', 4096): 4.44,   # 225.2 steps/s, asymmetric fwd (round 4)
+    ('float32', 8192): 35.8,   # 28.0 steps/s steady-state (round 4)
     ('float64', 4096): 61.2,   # ozaki int8 route, rfold2 (16.3 steps/s r4)
 }
 
