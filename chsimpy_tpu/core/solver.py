@@ -156,6 +156,36 @@ def resolve_fwd_matmul_precision(params: Parameters) -> str:
     return None
 
 
+def resolve_ozaki_fwd_pairs(params: Parameters):
+    """Forward pair cutoffs for the f64 ozaki transforms.
+
+    The same damping asymmetry as resolve_fwd_matmul_precision, in the
+    int8 route's terms: the forward transform of the nonlinear term may
+    drop slice-product passes the inverse must keep.  Measured cutoff
+    sweep on the chip (scripts/probes/ozaki_fwd_trim.py — canonical
+    N=512 f64 run, all rows stop at exactly 1674):
+
+        fwd pairs  max rel E    N=4096 f64 steps/s
+        (5, 7)     5.06e-11     17.5   (the round-4 entry default)
+        (4, 6)     5.06e-11     18.6
+        (3, 5)     5.05e-11     19.5   <- default: E at the floor, the
+                                          trim term is ~2 slots (128^2)
+                                          below the breach point
+        (3, 4)     4.43e-11     19.9
+        (2, 4)     3.90e-11     20.3   <- fastest contract-passing row
+        (2, 3)     6.26e-10     20.4   <- BREACH (> 1e-10): the cliff
+
+    (3, 5) is the default: one canonical run is one sample, so the
+    default keeps two powers of 128 between its trim term and the
+    measured cliff; set params.ozaki_fwd_pairs = (2, 4) to trade that
+    margin for +4%, or (5, 7) to disable trimming.  The INVERSE always
+    runs the contract-validated (5, 7)."""
+    pairs = getattr(params, 'ozaki_fwd_pairs', None)
+    if pairs is not None:
+        return tuple(pairs)
+    return (3, 5)
+
+
 def _resolve_transform(params: Parameters) -> str:
     tb = getattr(params, 'transform_backend', 'auto') or 'auto'
     if tb == 'auto':
@@ -340,6 +370,7 @@ class Solver:
             ozaki_fold=(resolve_transform(params) == 'ozaki'
                         and params.mesh_shape is None and N % 2 == 0),
             ozaki_rfold_levels=_resolve_rfold_levels(params),
+            ozaki_fwd_pairs=resolve_ozaki_fwd_pairs(params),
             # the split and ozaki routes shard via the pencil layout (2
             # transpose all-to-alls per step — for ozaki, of the int8
             # slice stacks) instead of the 2-D grid contraction; needs

@@ -123,6 +123,12 @@ class StepConfig:
     # int32 bounds gate levels <= 3 at N <= 4096, <= 2 at 8192
     # (ops/ozaki.py)
     ozaki_rfold_levels: int = 0
+    # trimmed (stage1, stage2) pair cutoffs for the FORWARD ozaki
+    # transform only (None = the contract-validated (5, 7) both ways);
+    # the nonlinear term's spectral image rides the semi-implicit
+    # damping, so the forward tolerates fewer passes — measured gates in
+    # PERFORMANCE.md round 4.  The inverse always keeps (5, 7).
+    ozaki_fwd_pairs: Optional[tuple] = None
     # pencil (1-D) sharded layout for the split route under a mesh: the
     # field is column-sharded over every device, the spectral image
     # row-sharded, each 1-D transform stage runs on a LOCAL axis, and the
@@ -596,12 +602,18 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
             # Pallas pass (measured 3.0 vs 4.6 ms per N=4096 field,
             # bit-identical slices — PERFORMANCE.md)
             pslice = cfg.kernel_backend == 'pallas'
+            # forward pair cutoffs: the nonlinear term's spectral image
+            # rides the semi-implicit damping, so its transform may run
+            # trimmed passes (cfg.ozaki_fwd_pairs); the inverse ALWAYS
+            # keeps the contract-validated (5, 7)
+            fs1, fs2 = (cfg.ozaki_fwd_pairs
+                        or (ozaki_ops.STAGE1_PAIR, ozaki_ops.STAGE2_PAIR))
             if cfg.ozaki_rfold_levels:
                 L = cfg.ozaki_rfold_levels
                 sc = ozaki_ops.dct_rfold_scale(cfg.N, L)
                 hat_E = ozaki_ops.dct2_ozaki_rfold(
                     EnergieEut, consts['rf'], sc, L, constrain=constrain,
-                    pallas_slice=pslice)
+                    pallas_slice=pslice, s1=fs1, s2=fs2)
                 hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
                 U = ozaki_ops.idct2_ozaki_rfold(
                     hat_U, consts['rf'], sc, L, constrain=constrain,
@@ -611,7 +623,8 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
                 fs['scale'] = ozaki_ops.dct_fold_scale(cfg.N)
                 hat_E = ozaki_ops.dct2_ozaki_fold(EnergieEut, fs,
                                                   constrain=constrain,
-                                                  pallas_slice=pslice)
+                                                  pallas_slice=pslice,
+                                                  s1=fs1, s2=fs2)
                 hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
                 U = ozaki_ops.idct2_ozaki_fold(hat_U, fs,
                                                constrain=constrain,
@@ -626,7 +639,7 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
                 hat_E = c_spec(ozaki_ops.dct2_ozaki(
                     EnergieEut, consts['Cs'], consts['CsT'], sc,
                     constrain=constrain, constrain_mid=c_spec,
-                    pallas_slice=pslice))
+                    pallas_slice=pslice, s1=fs1, s2=fs2))
                 hat_U = c_spec((state.hat_U + Seig * hat_E) / CHeig)
                 U = ozaki_ops.idct2_ozaki(
                     hat_U, consts['Cs'], consts['CsT'], sc,
@@ -637,7 +650,8 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
                 hat_E = ozaki_ops.dct2_ozaki(EnergieEut, consts['Cs'],
                                              consts['CsT'], sc,
                                              constrain=constrain,
-                                             pallas_slice=pslice)
+                                             pallas_slice=pslice,
+                                             s1=fs1, s2=fs2)
                 hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
                 U = ozaki_ops.idct2_ozaki(hat_U, consts['Cs'],
                                           consts['CsT'], sc,

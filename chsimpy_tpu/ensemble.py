@@ -165,6 +165,7 @@ class EnsembleSolver:
                         and not _grid_sharded and N % 2 == 0),
             ozaki_rfold_levels=solver_mod._resolve_rfold_levels(
                 params, grid_sharded=_grid_sharded),
+            ozaki_fwd_pairs=solver_mod.resolve_ozaki_fwd_pairs(params),
             # grid-sharded member fields under the split/ozaki routes use
             # the pencil layout (vmap adds the member axis to the pencil
             # specs automatically; 2 transpose all-to-alls per step)

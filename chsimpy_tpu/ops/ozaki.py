@@ -384,7 +384,7 @@ def _horner_f64(groups, dtype=jnp.float64):
 
 def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
                  fused_groups=False, constrain_mid=lambda t: t,
-                 right_first=False):
+                 right_first=False, s1=STAGE1_PAIR, s2=STAGE2_PAIR):
     """M_row @ U @ M_col with both stages in int8/int32.
 
     Ms_row/Ms_col are [S,N,N] int8 slice stacks of the two constant
@@ -402,34 +402,37 @@ def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
     dtype = U.dtype
     q = RENORM_SHIFT // 7
     # the pair cutoffs bound which slice indices any dot ever consumes:
-    # stage 1 reads field slices j <= STAGE1_PAIR (the matrix is always
-    # operand i), stage 2 reads renormalized slots i <= STAGE2_PAIR —
-    # emitting more is pure waste, so the chains stop there (the dropped
-    # slices changed no dot; results are bit-identical)
-    n_field = min(N_SLICES, STAGE1_PAIR + 1)
+    # stage 1 reads field slices j <= s1 (the matrix is always operand
+    # i), stage 2 reads renormalized slots i <= s2 — emitting more is
+    # pure waste, so the chains stop there (the dropped slices changed
+    # no dot; results are bit-identical).  The defaults are the
+    # contract-validated (5, 7); the FORWARD transform of the solver's
+    # nonlinear term may pass trimmed values (its error rides the
+    # semi-implicit damping — see stepper.py / PERFORMANCE.md round 4)
+    n_field = min(N_SLICES, s1 + 1)
     Us, su = (slice_field_pallas(U, n_field) if pallas_slice
               else slice_field(U, n_field))
     # the 2^RENORM_SHIFT static headroom occupies the top q slots of the
     # renormalized stack, so slot resolution runs to 2^-7(N_SLICES+q)
-    # in principle — but stage 2 only ever reads slots i <= STAGE2_PAIR
+    # in principle — but stage 2 only ever reads slots i <= s2
     # (its pair cutoff), so emission stops there
-    n_slots = min(N_SLICES + q, STAGE2_PAIR + 1)
+    n_slots = min(N_SLICES + q, s2 + 1)
     if right_first:
         # column stage first (pencil inverse): U @ Ms_col -> reshard ->
         # Ms_row @ .  Exact stage swap of the separable transform; the
         # int arithmetic makes it value-identical up to the final f64
         # Horner's summation nesting.
-        g1 = _pair_groups(Us, Ms_col, _dot_right, max_pair=STAGE1_PAIR)
+        g1 = _pair_groups(Us, Ms_col, _dot_right, max_pair=s1)
         t = constrain_mid(_renorm_to_slices(g1, n_slices=n_slots))
-        g2 = _pair_groups(Ms_row, t, _dot_left, max_pair=STAGE2_PAIR)
+        g2 = _pair_groups(Ms_row, t, _dot_left, max_pair=s2)
     elif fused_groups:
-        g1 = _pair_groups_fused(Ms_row, Us, max_pair=STAGE1_PAIR)
+        g1 = _pair_groups_fused(Ms_row, Us, max_pair=s1)
         t = constrain_mid(_renorm_to_slices(g1, n_slices=n_slots))
-        g2 = _pair_groups_fused(t, Ms_col, max_pair=STAGE2_PAIR)
+        g2 = _pair_groups_fused(t, Ms_col, max_pair=s2)
     else:
-        g1 = _pair_groups(Ms_row, Us, _dot_left, max_pair=STAGE1_PAIR)
+        g1 = _pair_groups(Ms_row, Us, _dot_left, max_pair=s1)
         t = constrain_mid(_renorm_to_slices(g1, n_slices=n_slots))
-        g2 = _pair_groups(t, Ms_col, _dot_right, max_pair=STAGE2_PAIR)
+        g2 = _pair_groups(t, Ms_col, _dot_right, max_pair=s2)
     z = _horner_f64(g2, jnp.dtype(dtype).type)
     # total scale: (m_scale * su * 2^RENORM_SHIFT) from stage 1 * m_scale
     z = z * (su * jnp.asarray(
@@ -441,7 +444,8 @@ def _transform2d(U, Ms_row, Ms_col, m_scale, pallas_slice=False,
 
 def dct2_ozaki(U, Cs, CsT, m_scale, constrain=lambda x: x,
                pallas_slice=False, fused_groups=False,
-               constrain_mid=lambda t: t):
+               constrain_mid=lambda t: t,
+               s1=STAGE1_PAIR, s2=STAGE2_PAIR):
     """Orthonormal 2-D DCT-II (C @ U @ C^T) via exact int8 passes.
     Matches :func:`chsimpy_tpu.ops.dct.dct2` to ~1e-15 relative.
 
@@ -458,7 +462,8 @@ def dct2_ozaki(U, Cs, CsT, m_scale, constrain=lambda x: x,
     N = U.shape[-1]
     m = jnp.mean(U)
     Y = _transform2d(U - m, Cs, CsT, m_scale, pallas_slice=pallas_slice,
-                     fused_groups=fused_groups, constrain_mid=constrain_mid)
+                     fused_groups=fused_groups, constrain_mid=constrain_mid,
+                     s1=s1, s2=s2)
     return _dc_add(Y, m * N)
 
 
@@ -506,12 +511,13 @@ def _interleave(a, b, axis):
     return stacked.reshape(shape)
 
 
-def _n_slots():
+def _n_slots(s2=STAGE2_PAIR):
     q = RENORM_SHIFT // 7
-    return min(N_SLICES + q, STAGE2_PAIR + 1)
+    return min(N_SLICES + q, s2 + 1)
 
 
-def dct2_ozaki_fold(U, fs, constrain=lambda x: x, pallas_slice=False):
+def dct2_ozaki_fold(U, fs, constrain=lambda x: x, pallas_slice=False,
+                    s1=STAGE1_PAIR, s2=STAGE2_PAIR):
     """Orthonormal 2-D DCT-II via folded int8 passes (half the MACs of
     :func:`dct2_ozaki`, same accuracy class).  ``fs`` is
     :func:`dct_fold_slices`(N)."""
@@ -524,13 +530,13 @@ def dct2_ozaki_fold(U, fs, constrain=lambda x: x, pallas_slice=False):
     # row fold (f64: two VPU adds per element)
     u = X[:h] + X[h:][::-1]
     v = X[:h] - X[h:][::-1]
-    n_field = min(N_SLICES, STAGE1_PAIR + 1)
+    n_field = min(N_SLICES, s1 + 1)
     sl = slice_field_pallas if pallas_slice else slice_field
     us, su = sl(u, n_field)
     vs, sv = sl(v, n_field)
     # stage 1: T_even = Ce @ u, T_odd = Co @ v — half-size contractions
-    ge = _pair_groups(fs['CeS'], us, _dot_left, max_pair=STAGE1_PAIR)
-    go = _pair_groups(fs['CoS'], vs, _dot_left, max_pair=STAGE1_PAIR)
+    ge = _pair_groups(fs['CeS'], us, _dot_left, max_pair=s1)
+    go = _pair_groups(fs['CoS'], vs, _dot_left, max_pair=s1)
 
     # column fold at the int32 group level (linear, exact)
     def colfold(gs):
@@ -540,14 +546,14 @@ def dct2_ozaki_fold(U, fs, constrain=lambda x: x, pallas_slice=False):
 
     pe, qe = colfold(ge)
     po, qo = colfold(go)
-    ns = _n_slots()
+    ns = _n_slots(s2)
     # stage 2 per quarter: Z[eo-rows, eo-cols]; row-block scales (su/sv)
     # stay separable because the column pass never mixes rows
     quarters = []
     for grp, mcol, s in ((pe, 'CeTS', su), (qe, 'CoTS', su),
                          (po, 'CeTS', sv), (qo, 'CoTS', sv)):
         t = _renorm_to_slices(grp, n_slices=ns)
-        g2 = _pair_groups(t, fs[mcol], _dot_right, max_pair=STAGE2_PAIR)
+        g2 = _pair_groups(t, fs[mcol], _dot_right, max_pair=s2)
         z = _horner_f64(g2, jnp.dtype(dtype).type)
         quarters.append(z * (s * jnp.asarray(
             fs['scale'] * fs['scale'] * 2.0 ** RENORM_SHIFT, dtype)))
@@ -655,7 +661,7 @@ def _rfold_groups_cols(groups, levels):
 
 
 def dct2_ozaki_rfold(U, rf, m_scale, levels, constrain=lambda x: x,
-                     pallas_slice=False):
+                     pallas_slice=False, s1=STAGE1_PAIR, s2=STAGE2_PAIR):
     """Orthonormal 2-D DCT-II via recursive folded int8 passes, PERMUTED
     block order on both axes (conjugate CHeig/Seig with
     ``dct.split_permute_grid(..., levels)``).  ``rf`` is
@@ -665,17 +671,17 @@ def dct2_ozaki_rfold(U, rf, m_scale, levels, constrain=lambda x: x,
     N = U.shape[-1]
     m = jnp.mean(U)
     sl = slice_field_pallas if pallas_slice else slice_field
-    n_field = min(N_SLICES, STAGE1_PAIR + 1)
-    ns = _n_slots()
+    n_field = min(N_SLICES, s1 + 1)
+    ns = _n_slots(s2)
     branches = _rfold_field(U - m, levels)
     row_blocks = []
     for b, (Bs, _BsT) in zip(branches, rf):
         us, su = sl(b, n_field)
-        g1 = _pair_groups(Bs, us, _dot_left, max_pair=STAGE1_PAIR)
+        g1 = _pair_groups(Bs, us, _dot_left, max_pair=s1)
         col_blocks = []
         for gc, (_Cs2, CsT2) in zip(_rfold_groups_cols(g1, levels), rf):
             t = _renorm_to_slices(gc, n_slices=ns)
-            g2 = _pair_groups(t, CsT2, _dot_right, max_pair=STAGE2_PAIR)
+            g2 = _pair_groups(t, CsT2, _dot_right, max_pair=s2)
             z = _horner_f64(g2, jnp.dtype(dtype).type)
             col_blocks.append(z * (su * jnp.asarray(
                 m_scale * m_scale * 2.0 ** RENORM_SHIFT, dtype)))

@@ -104,6 +104,10 @@ class Parameters:
     # semi-implicit damping Seig/CHeig makes the forward far less
     # error-sensitive than the inverse (None = same as matmul_precision)
     fwd_matmul_precision: Optional[str] = None
+    # trimmed (stage1, stage2) ozaki pair cutoffs for the FORWARD f64
+    # transform only (None = the contract (5, 7) both ways); same damping
+    # argument as fwd_matmul_precision — see PERFORMANCE.md round 4
+    ozaki_fwd_pairs: Optional[tuple] = None
     # 2-D DCT route: 'matmul' (C·U·Cᵀ on the MXU; shards under a mesh),
     # 'fft' (Makhoul rFFT, O(N² log N) — measured faster at N>=1024 f32),
     # 'auto' resolves per precision/N/mesh (see core/solver.py)

@@ -135,7 +135,9 @@ def test_solver_trajectory_matches_matmul():
     ta = _run('matmul')
     tb = _run('ozaki')
     np.testing.assert_allclose(ta[:, 1], tb[:, 1], rtol=1e-12)  # E
-    np.testing.assert_allclose(ta[:, 2], tb[:, 2], rtol=1e-9)   # E2
+    # E2 (gradient-quadratic, 1st-order in U error) carries the default
+    # forward trim's ~1e-9 class; E (variational, 2nd-order) does not
+    np.testing.assert_allclose(ta[:, 2], tb[:, 2], rtol=1e-8)   # E2
     np.testing.assert_allclose(ta[:, 3], tb[:, 3], rtol=0, atol=1e-9)  # SA
 
 
@@ -317,7 +319,7 @@ def test_solver_rfold_trajectory_matches_matmul():
     fold (rfold2); the solver trajectory must stay in the ozaki accuracy
     class vs the f64 matmul route, through the permuted-leig adaptive
     machinery as well."""
-    def run(tb, adaptive=False):
+    def run(tb, adaptive=False, fwd_pairs=None):
         p = ct.Parameters()
         p.N = 1024
         p.ntmax = 4
@@ -328,6 +330,7 @@ def test_solver_rfold_trajectory_matches_matmul():
         p.kappa_tilde = 2.98911291966116e-4
         p.transform_backend = tb
         p.adaptive_time = adaptive
+        p.ozaki_fwd_pairs = fwd_pairs
         from chsimpy_tpu.core.solver import Solver
         s = Solver(p)
         if tb == 'ozaki':
@@ -338,9 +341,17 @@ def test_solver_rfold_trajectory_matches_matmul():
 
     a = run('matmul')
     b = run('ozaki')
+    # default forward trim (3, 5): the forward transform's damped error
+    # contributes ~1e-11/step to U — contract class (<= 1e-10 in E),
+    # looser than the untrimmed route's 1e-12 (next assertion block)
     np.testing.assert_allclose(np.asarray(b.U), np.asarray(a.U),
-                               rtol=0, atol=1e-12)
+                               rtol=0, atol=2e-10)
     np.testing.assert_allclose(b.timedata.data()[:, 1],
+                               a.timedata.data()[:, 1], rtol=1e-10)
+    c = run('ozaki', fwd_pairs=(5, 7))   # untrimmed: the tight class
+    np.testing.assert_allclose(np.asarray(c.U), np.asarray(a.U),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(c.timedata.data()[:, 1],
                                a.timedata.data()[:, 1], rtol=1e-12)
 
 

@@ -122,7 +122,13 @@ def test_sharded_ozaki_matches_single_device():
     """The ozaki int8 transform shards under the mesh (GSPMD partitions
     the pair dots like the matmul contraction).  int8/int32 stages are
     exact regardless of partitioning; only the DC-mean and stat
-    reductions pick up collective ordering rounding."""
+    reductions pick up collective ordering rounding.  Forward trimming
+    is pinned to (5, 7) here: the single-device run takes the FOLDED
+    route and the sharded one the unfolded route, which agree at the
+    1e-15 exactness floor only untrimmed (the default (3, 5) trim
+    rounds the two routes differently at its own ~1e-11 class — the
+    same-route partitioning invariance is pinned by
+    test_pencil_ozaki_matches_single_device)."""
     def run_oz(mesh_shape):
         p = ct.Parameters()
         p.N = 64
@@ -132,6 +138,7 @@ def test_sharded_ozaki_matches_single_device():
         p.full_sim = True
         p.generator = 'lcg'
         p.transform_backend = 'ozaki'
+        p.ozaki_fwd_pairs = (5, 7)
         p.mesh_shape = mesh_shape
         return ct.Simulator(p).solve()
 
