@@ -134,6 +134,12 @@ FLAGS = [
          'than the inverse (unset = same as --matmul-precision)',
          param='fwd_matmul_precision',
          choices=['highest', 'high', 'default'], default=None),
+    Flag(('--ozaki-fwd-pairs',), 'TPU',
+         'Stage pair cutoffs "S1,S2" for the FORWARD float64 ozaki '
+         'transform (default 3,5 — E at the floor with 2 slots of '
+         'margin; 2,4 = fastest contract-passing; 5,7 = untrimmed). '
+         'The inverse always runs 5,7',
+         param='ozaki_fwd_pairs', default=None),
     # --- Input (reference cli_parser.py:88-94) ---
     Flag(('-p', '--parameter-file'), 'Input',
          'Input yaml file with parameter values (overwrites CLI '
@@ -243,6 +249,16 @@ class CLIParser:
                     int(v) for v in self.args.mesh.lower().split('x'))
             except ValueError:
                 self.parser.error('--mesh must look like "2x4"')
+
+        if isinstance(params.ozaki_fwd_pairs, str):
+            try:
+                s1, s2 = (int(v) for v in params.ozaki_fwd_pairs.split(','))
+            except ValueError:
+                self.parser.error('--ozaki-fwd-pairs must look like "3,5"')
+            if not (0 <= s1 <= 7 and 0 <= s2 <= 7):
+                self.parser.error('--ozaki-fwd-pairs cutoffs must be in '
+                                  '[0, 7]')
+            params.ozaki_fwd_pairs = (s1, s2)
 
         # cross-flag validation (reference cli_parser.py:146-153)
         if params.update_every is not None and params.update_every < 2:

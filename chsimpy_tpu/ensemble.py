@@ -37,6 +37,21 @@ from .solution import Solution
 from .timedata import TimeData
 
 
+def _warn_wide_f64_batch(R: int) -> bool:
+    """Warn (and return False, keeping the unfolded route) for float64
+    ozaki batches wider than 4 on real TPU — correct but ~20x slower
+    than four-wide batches; the experiment driver clamps its width to 4
+    automatically (experiment._resolve_batch_width)."""
+    import warnings
+    warnings.warn(
+        f"float64 ozaki ensemble with R={R} > 4 on TPU: the chip "
+        "backend miscompiles the batched folded transforms at width "
+        ">= 8, so the (much slower) unfolded route is used.  Run "
+        "four-wide batches instead (the experiment driver does this "
+        "automatically).", RuntimeWarning, stacklevel=3)
+    return False
+
+
 def derive_member_constants(params: Parameters, A0: float, A1: float):
     """kappa_tilde implied by a member's (A0, A1) pair — the sympy
     common-tangent solve the reference performs per process
@@ -160,11 +175,23 @@ class EnsembleSolver:
             split_levels=getattr(params, 'split_levels', None),
             # folded int8 blocks are member-local ops: they compose with
             # the vmapped batch and ens-axis sharding, but not with grid
-            # sharding of the member fields (same rule as the solver)
+            # sharding of the member fields (same rule as the solver).
+            # R > 4 on real TPU additionally forces the UNFOLDED route:
+            # at batch >= 8 the chip backend miscompiles the batched
+            # folded/rfold forward transform when an inverse consumer is
+            # fused into the same program (DC-scale 6.5e-3..1.1e-2
+            # errors; each half alone is clean, barriers don't help —
+            # scripts/probes/vmap_oz_b8_*.py, PERFORMANCE.md round 4).
+            # The unfolded route measures exact at every batch width.
             ozaki_fold=(solver_mod.resolve_transform(params) == 'ozaki'
-                        and not _grid_sharded and N % 2 == 0),
-            ozaki_rfold_levels=solver_mod._resolve_rfold_levels(
-                params, grid_sharded=_grid_sharded),
+                        and not _grid_sharded and N % 2 == 0
+                        and (self.R <= 4
+                             or jax.default_backend() != 'tpu'
+                             or _warn_wide_f64_batch(self.R))),
+            ozaki_rfold_levels=(solver_mod._resolve_rfold_levels(
+                params, grid_sharded=_grid_sharded)
+                if (self.R <= 4 or jax.default_backend() != 'tpu')
+                else 0),
             ozaki_fwd_pairs=solver_mod.resolve_ozaki_fwd_pairs(params),
             # grid-sharded member fields under the split/ozaki routes use
             # the pencil layout (vmap adds the member axis to the pencil

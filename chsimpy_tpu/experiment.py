@@ -315,6 +315,28 @@ def _member_kappas(init_params, A_sub, sink):
     return np.array([table[(float(a0), float(a1))] for a0, a1 in A_sub])
 
 
+def _resolve_batch_width(width, init_params):
+    """Clamp the device batch width where measurement says so.
+
+    float64 ozaki ensembles on real TPU run four-wide: at batch >= 8 the
+    chip backend both MISCOMPILES the batched folded transforms
+    (DC-scale errors -> NaN; EnsembleSolver falls back to the unfolded
+    route there) and serializes the batched int8 dots (5.84 vs 1.10
+    ms/member at the width-4 optimum — scripts/probes/
+    vmap_unfold_speed.py).  Four sequential width-4 batches measure
+    1318 member-steps/s vs 180 for one width-16 batch."""
+    import jax
+
+    from .core.solver import resolve_transform
+    if (width > 4 and init_params.precision == 'float64'
+            and jax.default_backend() == 'tpu'
+            and resolve_transform(init_params) == 'ozaki'):
+        print('note: float64 ozaki ensembles run four-wide device '
+              'batches (measured optimum; see PERFORMANCE.md round 4)')
+        return 4
+    return width
+
+
 def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
                          mesh=None, progress=True):
     """Run the full ensemble; returns (results rows, file_id)."""
@@ -342,6 +364,7 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
     width = exp_params.processes
     if width is None or width <= 0:
         width = nr_items
+    width = _resolve_batch_width(width, init_params)
 
     seed_rows = []
     file_id = init_params.file_id

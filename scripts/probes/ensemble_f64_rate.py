@@ -14,6 +14,11 @@ from chsimpy_tpu.ensemble import EnsembleSolver
 
 assert jax.devices()[0].platform != 'cpu'
 out = []
+def batches(R):
+    # the production protocol: float64 ozaki batches run four-wide
+    # (PERFORMANCE.md round 4 — wider batches miscompile/serialize)
+    return [(i, min(4, R - i)) for i in range(0, R, 4)]
+
 for R in (1, 4, 16):
     p = ct.Parameters()
     p.N = 512
@@ -27,11 +32,13 @@ for R in (1, 4, 16):
     A1 = material.A1(p.temp)
     pairs = np.array([[A0 * (1 + 0.0005 * i), A1 * (1 - 0.0005 * i)]
                       for i in range(R)])
-    ens = EnsembleSolver(p, pairs)
-    ens.prepare()
-    ens.solve_or_resume(257)  # compile + warm
+    enss = [EnsembleSolver(p, pairs[i:i + w]) for i, w in batches(R)]
+    for ens in enss:
+        ens.prepare()
+        ens.solve_or_resume(257)  # compile + warm
     t0 = time.perf_counter()
-    ens.solve_or_resume(512)  # 2 chunks
+    for ens in enss:
+        ens.solve_or_resume(512)  # 2 chunks
     dt = time.perf_counter() - t0
     rate = 512.0 * R / dt
     row = {'R': R, 'member_steps_per_s': rate,

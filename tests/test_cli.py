@@ -116,3 +116,17 @@ def test_cli_entry_honors_jax_platforms_env(tmp_path):
                          timeout=300)
     assert out.returncode == 0, out.stderr[-2000:]
     assert 'BACKEND=cpu' in out.stdout
+
+
+def test_ozaki_fwd_pairs_flag():
+    """--ozaki-fwd-pairs parses to a tuple and rejects malformed input."""
+    import pytest
+
+    from chsimpy_tpu.cli import CLIParser
+    p = CLIParser().get_parameters(['--ozaki-fwd-pairs', '2,4'])
+    assert p.ozaki_fwd_pairs == (2, 4)
+    p = CLIParser().get_parameters([])
+    assert p.ozaki_fwd_pairs is None   # resolver supplies the (3, 5) default
+    for bad in ('2', 'a,b', '8,9'):
+        with pytest.raises(SystemExit):
+            CLIParser().get_parameters(['--ozaki-fwd-pairs', bad])

@@ -506,3 +506,21 @@ def test_experiment_host_pipeline_pool_matches_sync(tmp_path, monkeypatch):
         fb = d_pool / f'hp-run{r}.solution.E2.csv'
         assert fa.exists() and fb.exists()
         assert filecmp.cmp(str(fa), str(fb), shallow=False)
+
+
+def test_f64_batch_width_clamp(monkeypatch):
+    """float64 ozaki ensembles on TPU run four-wide device batches (the
+    chip backend miscompiles/serializes batched transforms at >= 8)."""
+    import jax
+
+    from chsimpy_tpu.experiment import _resolve_batch_width
+    p = base_params(N=512)
+    p.precision = 'float64'
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+    assert _resolve_batch_width(16, p) == 4
+    assert _resolve_batch_width(3, p) == 3
+    p.precision = 'float32'
+    assert _resolve_batch_width(16, p) == 16
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'cpu')
+    p.precision = 'float64'
+    assert _resolve_batch_width(16, p) == 16  # CPU ozaki is exact+fast
