@@ -1,0 +1,73 @@
+"""Delta round 4: is the inverse's batched DC gather y[0,0] the trigger?"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.dirname(_os.path.abspath(__file__)))))
+import numpy as np
+import jax
+import jax.numpy as jnp
+import chsimpy_tpu as ct
+from chsimpy_tpu.ops import ozaki as oz
+from chsimpy_tpu.ops.ozaki import (_pair_groups, _dot_left, _dot_right,
+                                   _renorm_to_slices, _horner_f64,
+                                   _n_slots, slice_field, _dc_zero,
+                                   RENORM_SHIFT, STAGE1_PAIR, STAGE2_PAIR,
+                                   N_SLICES)
+
+assert jax.devices()[0].platform != 'cpu'
+rng = np.random.default_rng(0)
+N, B = 512, 8
+x = jnp.asarray(0.875 * (1 + 0.01 * (rng.random((B, N, N)) - 0.5)))
+fs = oz.dct_fold_slices(N)
+yl = jnp.stack([jax.jit(lambda u: oz.dct2_ozaki_fold(u, fs))(x[i])
+                for i in range(B)])
+
+
+def check(name, consumer):
+    def g(u):
+        y = oz.dct2_ozaki_fold(u, fs)
+        return y, consumer(y)
+    yv, _ = jax.jit(jax.vmap(g))(x)
+    print(f'{name:44s} fwd err {float(jnp.abs(yv - yl).max()):.3e}',
+          flush=True)
+
+
+nf = min(N_SLICES, STAGE1_PAIR + 1)
+
+
+def inv_pieces(y, dc_gather, right_half, final_concat):
+    d = y[0, 0] if dc_gather else jnp.float64(0.0)
+    ys, sy = slice_field(_dc_zero(y), nf)
+    a = _pair_groups(fs['CeTS'], ys[:, 0::2, :], _dot_left,
+                     max_pair=STAGE1_PAIR)
+    b = _pair_groups(fs['CoTS'], ys[:, 1::2, :], _dot_left,
+                     max_pair=STAGE1_PAIR)
+    wg = [jnp.concatenate([p + q, (p - q)[::-1, :]], axis=0)
+          for p, q in zip(a, b)]
+    t = _renorm_to_slices(wg, n_slices=_n_slots())
+    gE = _pair_groups(t[:, :, 0::2], fs['CeS'], _dot_right,
+                      max_pair=STAGE2_PAIR)
+    gO = _pair_groups(t[:, :, 1::2], fs['CoS'], _dot_right,
+                      max_pair=STAGE2_PAIR)
+    gl = [p + q for p, q in zip(gE, gO)]
+    f = sy * jnp.asarray(fs['scale'] * fs['scale'] * 2.0 ** RENORM_SHIFT,
+                         jnp.float64)
+    ul = _horner_f64(gl, jnp.float64) * f
+    if right_half:
+        gr = [p - q for p, q in zip(gE, gO)]
+        ur = _horner_f64(gr, jnp.float64)[:, ::-1] * f
+        if final_concat:
+            u = jnp.concatenate([ul, ur], axis=1)
+        else:
+            u = ul + ur[:, ::-1]
+    else:
+        u = ul
+    return u.sum() + d / N
+
+
+check('dc gather only (y[0,0])', lambda y: y[0, 0])
+check('pieces: no dc, right+concat',
+      lambda y: inv_pieces(y, False, True, True))
+check('pieces: dc, no right',
+      lambda y: inv_pieces(y, True, False, False))
+check('pieces: dc + right + concat (≈full)',
+      lambda y: inv_pieces(y, True, True, True))
