@@ -524,3 +524,27 @@ def test_f64_batch_width_clamp(monkeypatch):
     monkeypatch.setattr(jax, 'default_backend', lambda: 'cpu')
     p.precision = 'float64'
     assert _resolve_batch_width(16, p) == 16  # CPU ozaki is exact+fast
+
+
+def test_host_pipeline_propagates_worker_errors(tmp_path, monkeypatch):
+    """A failing member task surfaces at drain() with the original
+    exception type, and the pool shuts down cleanly."""
+    monkeypatch.chdir(tmp_path)
+    import pytest
+
+    from chsimpy_tpu.experiment import HostPipeline
+    from chsimpy_tpu.solution import Solution
+
+    p = base_params(N=16)
+    p.yaml = False
+    p.export_csv = 'nope_not_an_array'
+    p.png = False
+    sink = HostPipeline(2)
+    sol = Solution(p)
+    sol.U = np.zeros((16, 16))
+    # postprocess needs sol.E2 via timedata; leave timedata None so the
+    # worker raises (AttributeError -> surfaces at drain)
+    sink.submit(p, sol, 0, 1.0, 1.0)
+    with pytest.raises(Exception):
+        sink.drain()
+    sink.close()
