@@ -48,7 +48,7 @@ SINGLE_CHIP_MS = {
     ('float32', 2048): 0.91,
     ('float32', 4096): 4.44,   # 225.2 steps/s, asymmetric fwd (round 4)
     ('float32', 8192): 35.8,   # 28.0 steps/s steady-state (round 4)
-    ('float64', 4096): 61.2,   # ozaki int8 route, rfold2 (16.3 steps/s r4)
+    ('float64', 4096): 51.3,   # ozaki rfold2 + forward trim (19.5 steps/s r4)
 }
 
 ICI_LINK_GBS = 45.0      # one-way per link, v5e
