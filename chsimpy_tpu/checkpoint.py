@@ -19,6 +19,8 @@ runs have their own pair (:func:`save_ensemble_checkpoint` /
 from __future__ import annotations
 
 import json
+import os
+import tempfile
 
 import numpy as np
 
@@ -26,6 +28,33 @@ import numpy as np
 # (FieldGenerator.state_dict) instead of a pickle blob — restoring a
 # checkpoint must never execute code from the file.
 FORMAT_VERSION = 2
+
+
+def _atomic_savez(fname: str, **arrays) -> None:
+    """Crash-safe ``np.savez_compressed``: a SIGKILL / OOM-kill /
+    preemption mid-write must never corrupt (or half-overwrite) the
+    previous checkpoint — that is the exact failure checkpoints exist
+    for.  Writes to a temp file in the target's directory, fsyncs, then
+    atomically renames over the target (POSIX).  Writing through an
+    open file object also stops numpy silently appending '.npz' to
+    extensionless names (``--checkpoint-file run.ckpt`` used to produce
+    ``run.ckpt.npz`` that ``--restore run.ckpt`` could not find)."""
+    fname = os.fspath(fname)
+    d = os.path.dirname(os.path.abspath(fname)) or '.'
+    fd, tmp = tempfile.mkstemp(dir=d,
+                               prefix=os.path.basename(fname) + '.tmp.')
+    try:
+        with os.fdopen(fd, 'wb') as f:
+            np.savez_compressed(f, **arrays)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, fname)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def _params_from_header(header: dict):
@@ -75,7 +104,7 @@ def save_checkpoint(fname: str, solver) -> None:
                             if solver.generator is not None else None),
     }
     state = solver._state
-    np.savez_compressed(
+    _atomic_savez(
         fname,
         header=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
         # natural layout on disk regardless of the in-state layout
@@ -190,7 +219,7 @@ def save_ensemble_checkpoint(fname: str, ens, extra_header: dict = None
                             if ens.generator is not None else None),
         'extra': extra_header,
     }
-    np.savez_compressed(
+    _atomic_savez(
         fname,
         header=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
         U=np.asarray(U, dtype=np.float64),

@@ -407,7 +407,16 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
                         seed_rows=seed_rows)
 
     def _json_rows(rows):
-        return [[None if v is None else float(v) for v in r] for r in rows]
+        # integers (tsep, run ids) must survive the JSON round-trip as
+        # integers: a resumed experiment's results.csv is byte-identical
+        # to an uninterrupted run's (crash_resume_demo.py)
+        def conv(v):
+            if v is None:
+                return None
+            if isinstance(v, (int, np.integer)):
+                return int(v)
+            return float(v)
+        return [[conv(v) for v in r] for r in rows]
 
     view = None
     on_chunk = None

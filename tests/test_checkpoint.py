@@ -393,3 +393,51 @@ def test_checkpoint_stale_mode_fails_loudly(tmp_path):
     np.savez_compressed(f, **arrays)
     with pytest.raises(ValueError, match='warp-drive'):
         restore_solver(f)
+
+
+def test_checkpoint_extensionless_name_roundtrips(tmp_path):
+    """--checkpoint-file run.ckpt must produce exactly run.ckpt (numpy
+    used to append '.npz' silently, so --restore run.ckpt failed)."""
+    p = params(ntmax=6, kappa_tilde=2.98911291966116e-4)
+    s = ct.Solver(p)
+    s.prepare()
+    s.solve_or_resume(6)
+    f = tmp_path / 'run.ckpt'
+    save_checkpoint(str(f), s)
+    assert f.exists()
+    assert not (tmp_path / 'run.ckpt.npz').exists()
+    s2 = restore_solver(str(f))
+    assert s2.solution.computed_steps == s.solution.computed_steps
+
+
+def test_checkpoint_write_is_atomic(tmp_path, monkeypatch):
+    """A crash mid-write (the scenario checkpoints exist for) must leave
+    the PREVIOUS checkpoint intact — saves go through a temp file +
+    rename."""
+    import chsimpy_tpu.checkpoint as ckpt
+    p = params(ntmax=6, kappa_tilde=2.98911291966116e-4)
+    s = ct.Solver(p)
+    s.prepare()
+    s.solve_or_resume(6)
+    f = tmp_path / 'run.ckpt'
+    save_checkpoint(str(f), s)
+    n1 = s.solution.computed_steps
+    good = f.read_bytes()
+
+    real = np.savez_compressed
+
+    def dies_midway(fobj, **arrays):
+        real(fobj, **arrays)   # bytes hit the TEMP file...
+        raise KeyboardInterrupt('simulated kill during checkpoint save')
+
+    monkeypatch.setattr(np, 'savez_compressed', dies_midway)
+    s.solve_or_resume(3)
+    try:
+        save_checkpoint(str(f), s)
+    except KeyboardInterrupt:
+        pass
+    monkeypatch.setattr(np, 'savez_compressed', real)
+    assert f.read_bytes() == good          # previous checkpoint intact
+    assert list(tmp_path.glob('*.tmp.*')) == []   # temp cleaned up
+    s2 = restore_solver(str(f))
+    assert s2.solution.computed_steps == n1
