@@ -548,3 +548,16 @@ def test_host_pipeline_propagates_worker_errors(tmp_path, monkeypatch):
     with pytest.raises(Exception):
         sink.drain()
     sink.close()
+
+
+def test_ensemble_wires_fwd_precision_resolver():
+    """EnsembleSolver resolves the asymmetric forward precision exactly
+    like the single-run solver (f32 + split + N>=2048 + unpinned)."""
+    import jax
+
+    p = base_params(N=2048, ntmax=4)
+    p.precision = 'float32'
+    ens = EnsembleSolver(p, a_pairs(p, [(1.0, 1.0), (1.001, 0.999)]))
+    assert ens.cfg.fwd_matmul_precision == 'default'
+    assert ens.cfg.fwd_mm_precision == jax.lax.Precision.DEFAULT
+    assert ens.cfg.mm_precision == jax.lax.Precision.HIGH
