@@ -44,6 +44,9 @@ class ExperimentParams:
         self.A_seed = None
         self.live_view = False
         self.host_procs = -1
+        self.coordinator = None
+        self.num_processes = None
+        self.process_id = None
 
 
 class ExperimentCLIParser:
@@ -74,6 +77,22 @@ class ExperimentCLIParser:
                                 'sympy post-processing), overlapped with '
                                 'the device solve. -1 = one per CPU, '
                                 '0/1 = synchronous')
+        group.add_argument('--coordinator', default=None,
+                           help='jax.distributed coordinator address '
+                                '(host:port): run the experiment as one '
+                                'process of a multi-process ensemble — the '
+                                "'ens' mesh axis spans every process's "
+                                'devices, per-member host pipelines run on '
+                                'the owning process (reference: its only '
+                                'multi-process surface is the experiment '
+                                'pool, chsimpy/experiment.py:197-216). '
+                                'Launch recipe: docs/DISTRIBUTED.md')
+        group.add_argument('--num-processes', default=None, type=int,
+                           help='Total process count of the distributed '
+                                'experiment (with --coordinator)')
+        group.add_argument('--process-id', default=None, type=int,
+                           help='This process\'s rank in [0, '
+                                '--num-processes) (with --coordinator)')
         group.add_argument('--live-view', action='store_true',
                            help='Live map of ensemble member 0, refreshed '
                                 'about every --update-every steps (beyond-'
@@ -103,9 +122,31 @@ class ExperimentCLIParser:
         exp_params.A_seed = args.A_seed
         exp_params.live_view = args.live_view
         exp_params.host_procs = args.host_procs
+        exp_params.coordinator = args.coordinator
+        exp_params.num_processes = args.num_processes
+        exp_params.process_id = args.process_id
         if exp_params.live_view and params.update_every is None:
             self.cliparser.parser.error(
                 'ERROR: --live-view requires --update-every.')
+        if exp_params.coordinator is not None:
+            if exp_params.num_processes is None \
+                    or exp_params.process_id is None:
+                self.cliparser.parser.error(
+                    'ERROR: --coordinator requires --num-processes and '
+                    '--process-id.')
+            if exp_params.live_view:
+                self.cliparser.parser.error(
+                    'ERROR: --live-view is single-process only.')
+            if params.checkpoint_file or params.restore_file:
+                self.cliparser.parser.error(
+                    'ERROR: experiment checkpointing is single-process '
+                    'only (the checkpoint header would need a global '
+                    'result gather at every save).')
+            if params.file_id is None or params.file_id == 'auto':
+                self.cliparser.parser.error(
+                    'ERROR: distributed experiments need an explicit '
+                    '--file-id (auto ids are timestamps; the processes '
+                    'would disagree).')
         return exp_params, params
 
 
@@ -337,6 +378,37 @@ def _resolve_batch_width(width, init_params):
     return width
 
 
+def _merge_rows_across_processes(rows, nr_items):
+    """Gather per-process result rows into the global run-ordered set.
+
+    Under multi-process execution every process post-processes only the
+    members it owns (``run_id % process_count == process_index``); the
+    results table needs all of them (the reference's pool gathers rows
+    into the parent, ``chsimpy/experiment.py:211-218``).  Rows are
+    fixed-width numeric tuples, so they ride one float64
+    ``process_allgather`` over the distributed runtime; padding rows are
+    NaN in the id column.  tsep/id are restored to ints so the merged
+    ``results.csv`` stays byte-identical to a single-process run's."""
+    import jax
+    from jax.experimental import multihost_utils
+    ncols = 12
+    maxm = -(-nr_items // jax.process_count())
+    buf = np.full((maxm, ncols), np.nan)
+    for i, r in enumerate(rows):
+        buf[i] = [np.nan if v is None else float(v) for v in r]
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    gathered = gathered.reshape(-1, ncols)
+    gathered = gathered[~np.isnan(gathered[:, 9])]  # drop the padding
+    gathered = gathered[np.argsort(gathered[:, 9], kind='stable')]
+    out = []
+    for r in gathered:
+        row = [None if np.isnan(v) else float(v) for v in r]
+        row[8] = int(row[8])   # tsep
+        row[9] = int(row[9])   # id
+        out.append(tuple(row))
+    return out
+
+
 def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
                          mesh=None, progress=True):
     """Run the full ensemble; returns (results rows, file_id)."""
@@ -365,6 +437,21 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
     if width is None or width <= 0:
         width = nr_items
     width = _resolve_batch_width(width, init_params)
+
+    import jax
+    pcount = jax.process_count()
+    if pcount > 1:
+        if init_params.checkpoint_file or init_params.restore_file:
+            raise ValueError(
+                'experiment checkpoint/restore is single-process only '
+                '(the checkpoint header needs a global result gather at '
+                'every save)')
+        if getattr(exp_params, 'live_view', False):
+            raise ValueError('live_view is single-process only')
+        if mesh is None:
+            raise ValueError(
+                'multi-process experiments need a global device mesh '
+                "(an 'ens' axis spanning every process's devices)")
 
     seed_rows = []
     file_id = init_params.file_id
@@ -466,7 +553,9 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
             # imap_unordered progress (experiment.py:211-216): each member
             # ticks as its export/postprocessing completes
             from tqdm import tqdm
-            pbar = tqdm(total=nr_items, desc='ensemble runs')
+            owned = (nr_items if pcount == 1 else
+                     len(range(jax.process_index(), nr_items, pcount)))
+            pbar = tqdm(total=owned, desc='ensemble runs')
         except ImportError:
             pass
     try:
@@ -481,6 +570,8 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
         pbar.close()
     if view is not None:
         view.finish()
+    if pcount > 1:
+        results = _merge_rows_across_processes(results, nr_items)
     return results
 
 
@@ -490,6 +581,9 @@ def _run_batches(init_params, sink, A_pairs, facs, A_list,
                  view, pbar, _json_rows):
     """Device-batch loop of :func:`run_experiment_batch`: solve each vmapped
     batch, hand every finished member to the host pipeline ``sink``."""
+    import jax
+    pcount = jax.process_count()
+    pindex = jax.process_index()
     for start in range(0, nr_items, width):
         stop = min(start + width, nr_items)
         if start + width <= resume_start:
@@ -553,6 +647,10 @@ def _run_batches(init_params, sink, A_pairs, facs, A_list,
                 pbar.update(1)
         for i, sol in enumerate(sols):
             run_id = start + i
+            if pcount > 1 and run_id % pcount != pindex:
+                # another process owns this member's host pipeline (its
+                # rows arrive via the final process_allgather merge)
+                continue
             rp = init_params.deepcopy()
             rp.file_id = f"{file_id}-run{run_id}"
             fac0 = None if A_list is not None else facs[run_id, 0]
@@ -578,13 +676,43 @@ def aggregate_results(results, file_id):
     return df_results, df_agg
 
 
+def _distributed_mesh(exp_params, init_params):
+    """Initialize ``jax.distributed`` from the experiment CLI flags and
+    return the global ('ens','x','y') mesh the batches shard over: the
+    'ens' axis spans every process's devices (the reference's pool axis,
+    ``chsimpy/experiment.py:211``), with ``--mesh`` (if given) carving a
+    per-member ('x','y') grid out of each member's share."""
+    import jax
+
+    from .parallel import distributed
+    from .parallel.mesh import make_ensemble_mesh
+    topo = distributed.initialize(
+        coordinator_address=exp_params.coordinator,
+        num_processes=exp_params.num_processes,
+        process_id=exp_params.process_id)
+    grid = tuple(init_params.mesh_shape or (1, 1))
+    n_grid = int(np.prod(grid))
+    n_dev = topo['global_devices']
+    if n_dev % n_grid:
+        raise ValueError(f"--mesh {grid} does not divide the "
+                         f"{n_dev} global devices")
+    return make_ensemble_mesh(n_dev // n_grid, grid)
+
+
 def main(argv=None):
     import chsimpy_tpu as _ct
     _ct.honor_jax_platforms_env()
     exp_cliparser = ExperimentCLIParser()
     exp_cliparser.cliparser.print_info()
     exp_params, init_params = exp_cliparser.get_parameters(argv)
-    print(str(init_params).replace(", '", "\n '"))
+
+    mesh = None
+    if exp_params.coordinator is not None:
+        mesh = _distributed_mesh(exp_params, init_params)
+    import jax
+    is_primary = jax.process_index() == 0
+    if is_primary:
+        print(str(init_params).replace(", '", "\n '"))
 
     if init_params.file_id is None or init_params.file_id == 'auto':
         init_params.file_id = sysinfo.get_or_create_file_id(
@@ -599,12 +727,17 @@ def main(argv=None):
     if exp_params.A_source not in ('uniform', 'sobol', 'grid'):
         A_list = csvio.csv_import_matrix(exp_params.A_source)
 
-    exp_params_list = sysinfo.vars_to_list(exp_params)
-    csvio.csv_export_list(f"{init_params.file_id}-metadata.csv",
-                          "\n".join(sysinfo_list + exp_params_list))
+    if is_primary:
+        exp_params_list = sysinfo.vars_to_list(exp_params)
+        csvio.csv_export_list(f"{init_params.file_id}-metadata.csv",
+                              "\n".join(sysinfo_list + exp_params_list))
 
     results = run_experiment_batch(init_params, exp_params,
-                                   A_list=A_list, U_init=U_init)
+                                   A_list=A_list, U_init=U_init,
+                                   mesh=mesh, progress=is_primary)
+    if not is_primary:
+        # every process holds the merged rows; one writes the tables
+        return
     df_results, df_agg = aggregate_results(results, init_params.file_id)
     print(df_agg.T)
     print('Output files:')

@@ -27,13 +27,27 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), '..', 'tests', 'golden')
 RTOL_E = {'n64_adaptive_600': 1e-8}
 DEFAULT_RTOL_E = 1e-10
 
+# the default battery is EVERY trace golden (all of tests/golden/ except
+# the anchors-only default_n512_anchors, which scripts/probes/
+# canonical_gate.py replays): a chip f64 regression in any transform
+# route — incl. the rfold path that only N>=1024 exercises — fails the
+# default invocation.  ~6 min on the chip, dominated by the N=2048
+# full run (2040 steps).
+DEFAULT_GOLDENS = ','.join([
+    'n64_lcg_200', 'n128_uniform_300', 'n64_sobol_100',
+    'n64_jitter_100', 'n64_sobol_jitter_100', 'n64_simplex_jitter_100',
+    'n64_timemax',
+    'n64_adaptive_400', 'n64_adaptive_floor_600', 'n64_adaptive_600',
+    'n1024_lcg_60', 'n1024_uniform_stop', 'n2048_uniform_stop',
+])
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--transform', default=None,
                     help="force a transform route (e.g. ozaki, split, "
                          "matmul); default: the solver's auto choice")
-    ap.add_argument('--goldens', default='n64_lcg_200,n128_uniform_300')
+    ap.add_argument('--goldens', default=DEFAULT_GOLDENS)
     ap.add_argument('--kernels', default=None,
                     choices=['xla', 'pallas'],
                     help="force the kernel backend")

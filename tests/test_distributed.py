@@ -52,6 +52,31 @@ def test_four_process_ensemble_bit_matches_single(tmp_path):
     assert artifact['devices_per_process'] == 2
 
 
+def test_two_process_experiment_cli_byte_identical_results(tmp_path):
+    """The PRODUCT surface end-to-end: ``chsimpy-tpu-experiment
+    --coordinator ...`` as two jax.distributed processes (ens axis over
+    the process split, per-process host pipelines) must write results.csv
+    and results-agg.csv BYTE-identical to the same command line run
+    single-process on the same 8-device mesh — the reference's only
+    multi-process entry point (chsimpy/experiment.py:197-216), proven at
+    the CLI layer rather than the EnsembleSolver library layer."""
+    out = tmp_path / 'distexp.json'
+    env = dict(os.environ)
+    env.pop('XLA_FLAGS', None)
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, 'scripts', 'run_distributed_experiment.py'),
+         '--out', str(out)],
+        env=env, capture_output=True, text=True, timeout=570)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    with open(out) as f:
+        artifact = json.load(f)
+    assert artifact['results_csv_byte_identical'] is True
+    assert artifact['results_agg_byte_identical'] is True
+    assert artifact['per_run_file_sets_match'] is True
+    assert artifact['processes'] == 2
+
+
 def test_two_process_pencil_split_fields_bit_match(tmp_path):
     """The pencil layout cross-process: its transpose all-to-alls ride
     the DCN stand-in (gloo); member fields must stay BIT-identical to
