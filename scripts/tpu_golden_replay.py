@@ -29,14 +29,18 @@ DEFAULT_RTOL_E = 1e-10
 
 # the default battery is EVERY trace golden (all of tests/golden/ except
 # the anchors-only default_n512_anchors, which scripts/probes/
-# canonical_gate.py replays): a chip f64 regression in any transform
+# canonical_gate.py replays, and n64_timemax: that golden is an
+# INTENTIONAL knife edge — its time_max equals the accumulated
+# simulation time after step 60 to the last ULP, so the stop step is a
+# bit-level f64 contract that only the CPU backend carries; the chip's
+# double-single f64 emulation rounds the running time sum 1 ULP high
+# and stops one step early).  A chip f64 regression in any transform
 # route — incl. the rfold path that only N>=1024 exercises — fails the
 # default invocation.  ~6 min on the chip, dominated by the N=2048
 # full run (2040 steps).
 DEFAULT_GOLDENS = ','.join([
     'n64_lcg_200', 'n128_uniform_300', 'n64_sobol_100',
     'n64_jitter_100', 'n64_sobol_jitter_100', 'n64_simplex_jitter_100',
-    'n64_timemax',
     'n64_adaptive_400', 'n64_adaptive_floor_600', 'n64_adaptive_600',
     'n1024_lcg_60', 'n1024_uniform_stop', 'n2048_uniform_stop',
 ])
@@ -73,12 +77,14 @@ def main():
         sim = ct.Simulator(p)
         sol = sim.solve()
         td = sol.timedata.data()
-        ok_steps = sol.computed_steps == g['computed_steps']
+        ok_steps = (sol.computed_steps == g['computed_steps']
+                    and len(td) == len(g['E']))
         ok_stop = sol.stop_reason == g['stop_reason']
         E = np.asarray(g['E'])
-        erel = float(np.max(np.abs((td[:, 1] - E) / E)))
-        drel = float(np.max(np.abs(
-            (td[:, 8] - np.asarray(g['delt'])) / np.asarray(g['delt']))))
+        n = min(len(td), len(E))
+        erel = float(np.max(np.abs((td[:n, 1] - E[:n]) / E[:n])))
+        delt_ref = np.asarray(g['delt'])[:n]
+        drel = float(np.max(np.abs((td[:n, 8] - delt_ref) / delt_ref)))
         ok = (ok_steps and ok_stop
               and erel < RTOL_E.get(name, DEFAULT_RTOL_E))
         failures += 0 if ok else 1
