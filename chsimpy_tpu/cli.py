@@ -140,6 +140,12 @@ FLAGS = [
          'margin; 2,4 = fastest contract-passing; 5,7 = untrimmed). '
          'The inverse always runs 5,7',
          param='ozaki_fwd_pairs', default=None),
+    Flag(('--inv-band',), 'TPU',
+         'Experimental banded-precision inverse (matmul route only): '
+         'spectral rows/cols >= this index contract at 1-pass bf16, the '
+         'dominant low band keeps --matmul-precision (measured verdict: '
+         'PERFORMANCE.md round 5)',
+         param='inv_band', type=int, default=None),
     # --- Input (reference cli_parser.py:88-94) ---
     Flag(('-p', '--parameter-file'), 'Input',
          'Input yaml file with parameter values (overwrites CLI '

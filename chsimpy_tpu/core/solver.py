@@ -356,6 +356,7 @@ class Solver:
             matmul_precision=params.matmul_precision or (
                 'high' if params.precision == 'float32' else 'highest'),
             fwd_matmul_precision=resolve_fwd_matmul_precision(params),
+            inv_band=getattr(params, 'inv_band', None),
             # f64 on TPU: restructured stats keep the 1e-10 E contract
             # (verified by on-chip golden replay); CPU f64 keeps the
             # reference summation order (bit-level validation path).

@@ -161,6 +161,11 @@ class StepConfig:
     # tolerates fewer passes than the inverse, whose output IS the field
     # (sensitivity math + chip measurements in PERFORMANCE.md round 4)
     fwd_matmul_precision: Optional[str] = None
+    # experimental banded-precision inverse (matmul route only): spectral
+    # rows/cols >= inv_band contract at 1-pass bf16, the dominant low
+    # band keeps mm_precision (ops/dct.py idct2_banded — measured
+    # verdict in PERFORMANCE.md round 5)
+    inv_band: Optional[int] = None
 
     @property
     def mm_precision(self):
@@ -662,7 +667,13 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
             hat_E = dct_ops.dct2(EnergieEut, C, precision=cfg.fwd_mm_precision,
                                  constrain=constrain)
             hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
-            U = dct_ops.idct2(hat_U, C, precision=prec, constrain=constrain)
+            if cfg.inv_band:
+                U = dct_ops.idct2_banded(hat_U, C, cfg.inv_band,
+                                         precision=prec,
+                                         constrain=constrain)
+            else:
+                U = dct_ops.idct2(hat_U, C, precision=prec,
+                                  constrain=constrain)
 
         rng_key = state.rng_key
         if cfg.jitter_mode == 'stream' or cfg.jitter_mode == 'static':

@@ -67,6 +67,34 @@ def idct2(X: jnp.ndarray, C: jnp.ndarray,
     return _mm(constrain(_mm(C.T, X, precision)), C, precision)
 
 
+def idct2_banded(X: jnp.ndarray, C: jnp.ndarray, k0: int,
+                 precision=jax.lax.Precision.HIGH,
+                 band_precision=jax.lax.Precision.DEFAULT,
+                 constrain=lambda x: x) -> jnp.ndarray:
+    """Spectrally banded-precision inverse DCT (experimental, round 5).
+
+    Both stages of C^T X C contract over a FREQUENCY index (stage 1 the
+    row index k of X, stage 2 the column index l — untouched by stage
+    1), so each splits exactly into a dominant low band [0, k0) and a
+    tail [k0, N): the low band runs at ``precision`` (3-pass bf16 for
+    the f32 route), the tail at ``band_precision`` (1-pass bf16).
+
+    Why the tail tolerates 1 pass: the CH field's spectrum decays hard
+    under the semi-implicit damping — measured mid-coarsening (N=512
+    step 800) max|X[k >= N/4]| / max|X| = 1.6e-4, so the tail's 1-pass
+    rounding (~2^-8 relative) contributes ~6e-7 of the dominant scale,
+    inside the f32 route's E class.  Early SPINODAL steps have a flat
+    noise spectrum instead — whether the trajectory stays in class is an
+    empirical question; see PERFORMANCE.md round 5 for the measured
+    verdict.  Cost: per stage 3(k0/N) + (1 - k0/N) bf16 passes — 1.5
+    vs 3 at k0 = N/4."""
+    T = (_mm(C.T[:, :k0], X[:k0, :], precision)
+         + _mm(C.T[:, k0:], X[k0:, :], band_precision))
+    T = constrain(T)
+    return (_mm(T[:, :k0], C[:k0, :], precision)
+            + _mm(T[:, k0:], C[k0:, :], band_precision))
+
+
 # ----------------------------------------------------------------------
 # FFT route: DCT-II/III via an N-point real FFT (Makhoul 1980).
 #

@@ -108,6 +108,11 @@ class Parameters:
     # transform only (None = the contract (5, 7) both ways); same damping
     # argument as fwd_matmul_precision — see PERFORMANCE.md round 4
     ozaki_fwd_pairs: Optional[tuple] = None
+    # experimental: banded-precision inverse for the matmul route —
+    # spectral indices >= inv_band contract at 1-pass bf16 (the CH
+    # spectrum's high-k tail is ~1e-4 of the dominant band mid-run), the
+    # low band keeps matmul_precision.  None = uniform precision
+    inv_band: Optional[int] = None
     # 2-D DCT route: 'matmul' (C·U·Cᵀ on the MXU; shards under a mesh),
     # 'fft' (Makhoul rFFT, O(N² log N) — measured faster at N>=1024 f32),
     # 'auto' resolves per precision/N/mesh (see core/solver.py)

@@ -348,3 +348,26 @@ def test_ensemble_axis_is_wire_free():
     assert r['total_bytes'] <= 16, r['per_op_bytes']
     assert r['per_op_bytes'].get('all-gather', 0) == 0
     assert r['per_op_bytes'].get('all-to-all', 0) == 0
+
+
+def test_pencil_per_device_footprint_is_total_over_D():
+    """The pencil layout's purpose is fields past one chip's HBM: every
+    field-sized state leaf must hold exactly total/D bytes per device
+    (the timedata row buffer stays replicated by design).  The committed
+    N=8192 f64 artifact (artifacts/r5/pencil_8192_demo.json — 256
+    MiB/device of a 512 MiB field, trajectory equal to unsharded at
+    1e-14) runs the same probe at production size."""
+    from chsimpy_tpu.core.solver import Solver
+
+    p = _pencil_params((2, 4), precision='float64', N=256)
+    s = Solver(p)
+    s.prepare()
+    s.solve_or_resume(2)
+    st = s._state
+    D = 8
+    for name in ('U', 'hat_U'):
+        x = getattr(st, name)
+        shard = x.sharding.shard_shape(x.shape)
+        assert len(x.sharding.device_set) == D
+        per_dev = x.dtype.itemsize * int(np.prod(shard))
+        assert per_dev * D == x.nbytes, (name, shard, x.shape)

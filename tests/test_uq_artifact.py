@@ -99,3 +99,53 @@ def test_agg_format_and_shared_rows():
         np.testing.assert_allclose(
             tagg.loc[row, 'std'], ragg.loc[row, 'std'],
             rtol=1e-10 if rtol == 1e-12 else 2e-1)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: float64 VALIDATION-MODE experiment artifact — the same R=16
+# sobol design run on-chip in f64 (artifacts/r5/uq_f64/tpu64-*): the
+# product's headline statistic (per-member tau0) must match the
+# reference's own run EXACTLY, not within the f32 ladder.
+
+UQ64_DIR = os.path.join(os.path.dirname(__file__), '..',
+                        'artifacts', 'r5', 'uq_f64')
+
+uq64 = pytest.mark.skipif(
+    not os.path.exists(os.path.join(UQ64_DIR, 'tpu64-results.csv')),
+    reason='round-5 f64 UQ artifact not present')
+
+
+def _load64():
+    df = pd.read_csv(os.path.join(UQ64_DIR, 'tpu64-results.csv'),
+                     index_col=0)
+    return df.sort_values('id').reset_index(drop=True)
+
+
+@uq64
+def test_f64_stop_statistics_exact():
+    """Per-member tau0 and tsep (integer step indices) are EQUAL to the
+    reference's, member for member; t0 (simulated seconds at tau0)
+    matches at accumulation ULPs.  This is the contract-grade form of
+    the f32-ladder test above: in validation mode the experiment product
+    is exact, not statistically compatible."""
+    ref = _load('ref')
+    tpu = _load64()
+    assert len(tpu) == len(ref) == 16
+    np.testing.assert_array_equal(tpu['tau0'].to_numpy(),
+                                  ref['tau0'].to_numpy())
+    np.testing.assert_array_equal(tpu['tsep'].to_numpy(),
+                                  ref['tsep'].to_numpy())
+    np.testing.assert_allclose(tpu['t0'], ref['t0'], rtol=1e-12)
+
+
+@uq64
+def test_f64_a_plan_and_material_exact():
+    """A-plan at f64 bit compatibility; sympy postprocessing bounded by
+    the reference csv's 7-significant-digit print precision."""
+    ref = _load('ref')
+    tpu = _load64()
+    for col in ('fac_A0', 'fac_A1', 'A0', 'A1'):
+        np.testing.assert_allclose(tpu[col], ref[col], rtol=1e-14)
+    for col in ('ca', 'cb', 'sa', 'sb'):
+        np.testing.assert_allclose(tpu[col].astype(float),
+                                   ref[col].astype(float), rtol=5e-7)
