@@ -117,3 +117,23 @@ def test_adaptive_rebuild_matches_oracle_at_golden_delts(route):
             S_o = dct_ops.split_permute_grid(S_o, 64, lv)
         np.testing.assert_allclose(np.asarray(CH_d), CH_o, rtol=1e-14)
         np.testing.assert_allclose(np.asarray(S_d), S_o, rtol=1e-14)
+
+
+def test_idct2_banded_equals_idct2_at_equal_precision():
+    """The banded inverse is EXACTLY idct2 when both bands run the same
+    precision (the split is algebraic: C^T X C block-partitioned over
+    the contraction index) — here at f64 where precision tiers are
+    no-ops, to 1-ULP reassembly order."""
+    import numpy as np
+    from chsimpy_tpu.ops.dct import dct2, idct2, idct2_banded, dct_matrix
+
+    rng = np.random.default_rng(7)
+    N = 64
+    U = jnp.asarray(rng.random((N, N)))
+    C = dct_matrix(N)
+    X = dct2(U, C)
+    full = np.asarray(idct2(X, C))
+    for k0 in (8, 16, 32):
+        band = np.asarray(idct2_banded(X, C, k0))
+        np.testing.assert_allclose(band, full, rtol=0, atol=1e-14)
+        np.testing.assert_allclose(band, np.asarray(U), rtol=0, atol=1e-12)
