@@ -322,6 +322,18 @@ class Solver:
             raise ValueError(
                 f"--split-levels {sl} needs N divisible by 2^levels "
                 f"(got N={N})")
+        ib = getattr(params, 'inv_band', None)
+        if ib is not None:
+            if params.precision != 'float32':
+                raise ValueError(
+                    "--inv-band is a float32 fast-mode knob (a 1-pass "
+                    "bf16 band would break the float64 validation "
+                    "contract)")
+            if not (0 < ib < N):
+                raise ValueError(f"--inv-band must be in (0, N), got {ib}")
+            if resolve_transform(params) not in ('matmul', 'split'):
+                raise ValueError(
+                    "--inv-band applies to the matmul and split routes")
         fold_field = resolve_fold_field(params)
         if fold_field:
             if params.mesh_shape is not None:

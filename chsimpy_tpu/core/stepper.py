@@ -568,6 +568,9 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
             # the interleave relayout; Seig/CHeig are pre-permuted
             prec = cfg.mm_precision
             fprec = cfg.fwd_mm_precision
+            # banded inverse (experimental): high-k tail of every split
+            # block at 1-pass bf16 (ops/dct.py _mmt_banded_l)
+            bf = (cfg.inv_band / cfg.N) if cfg.inv_band else None
             if cfg.fold_field:
                 # U/EnergieEut live in the level-1 folded layout: the
                 # level-1 reversal relayouts vanish (see ops/dct.py)
@@ -577,7 +580,7 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
                 hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
                 U = dct_ops.idct2_split_perm_folded(
                     hat_U, consts['tree'], precision=prec,
-                    constrain=constrain)
+                    constrain=constrain, band_frac=bf)
             elif cfg.pencil:
                 # pencil stage order: the mid-transform constraint IS the
                 # transpose all-to-all (spec sharding on the forward,
@@ -589,7 +592,7 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
                 hat_U = c_spec((state.hat_U + Seig * hat_E) / CHeig)
                 U = dct_ops.idct2_split_perm_pencil(
                     hat_U, consts['tree'], precision=prec,
-                    constrain=constrain)
+                    constrain=constrain, band_frac=bf)
             else:
                 hat_E = dct_ops.dct2_split_perm(EnergieEut, consts['tree'],
                                                 precision=fprec,
@@ -597,7 +600,8 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
                 hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
                 U = dct_ops.idct2_split_perm(hat_U, consts['tree'],
                                              precision=prec,
-                                             constrain=constrain)
+                                             constrain=constrain,
+                                             band_frac=bf)
         elif cfg.transform_backend == 'fft':
             hat_E = dct_ops.dct2_fft(EnergieEut, constrain=constrain)
             hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)

@@ -435,16 +435,49 @@ def _apply_split_perm(tree, x, precision):
     return jnp.concatenate([even, odd], axis=0)
 
 
-def _apply_split_t_perm(tree, y, precision):
+def _mmt_banded_l(M, y, precision, band_frac,
+                  band_precision=jax.lax.Precision.DEFAULT):
+    """M.T @ y with the tail of y's rows contracted at ``band_precision``.
+
+    Every split-tree block is internally ASCENDING-frequency ordered (the
+    E-leaf holds k = 2^L j, an O_l block odd multiples of 2^(l-1)), so a
+    uniform within-block fraction bands the whole permuted spectrum at
+    the same global cutoff: rows past ``band_frac`` of each block carry
+    the CH spectrum's decayed tail (~1e-4 of the dominant band mid-run —
+    see :func:`idct2_banded`), whose 1-pass rounding stays inside the f32
+    E class (measured, PERFORMANCE.md round 5)."""
+    if not band_frac:
+        return jnp.matmul(M.T, y, precision=precision)
+    j0 = max(1, int(y.shape[0] * band_frac))
+    if j0 >= y.shape[0]:
+        return jnp.matmul(M.T, y, precision=precision)
+    return (jnp.matmul(M.T[:, :j0], y[:j0], precision=precision)
+            + jnp.matmul(M.T[:, j0:], y[j0:], precision=band_precision))
+
+
+def _mm_banded_r(y, M, precision, band_frac,
+                 band_precision=jax.lax.Precision.DEFAULT):
+    """y @ M with the tail of y's columns contracted at
+    ``band_precision`` (right-side mirror of :func:`_mmt_banded_l`)."""
+    if not band_frac:
+        return jnp.matmul(y, M, precision=precision)
+    j0 = max(1, int(y.shape[-1] * band_frac))
+    if j0 >= y.shape[-1]:
+        return jnp.matmul(y, M, precision=precision)
+    return (jnp.matmul(y[..., :j0], M[:j0], precision=precision)
+            + jnp.matmul(y[..., j0:], M[j0:], precision=band_precision))
+
+
+def _apply_split_t_perm(tree, y, precision, band_frac=None):
     """C_block^T · P^T @ y — inverse of :func:`_apply_split_perm`
     (consumes block order directly, no de-interleave gather)."""
     if not isinstance(tree, tuple):
-        return jnp.matmul(tree.T, y, precision=precision)
+        return _mmt_banded_l(tree, y, precision, band_frac)
     n2 = y.shape[0] // 2
-    u = _apply_split_t_perm(tree[0], y[:n2], precision)
+    u = _apply_split_t_perm(tree[0], y[:n2], precision, band_frac)
     yo = y[n2:]
     v = (_hou_col_t(tree[1], yo, precision) if isinstance(tree[1], dict)
-         else jnp.matmul(tree[1].T, yo, precision=precision))
+         else _mmt_banded_l(tree[1], yo, precision, band_frac))
     return jnp.concatenate([u + v, (u - v)[::-1]], axis=0)
 
 
@@ -492,16 +525,17 @@ def _apply_split_perm_right(tree, x, precision):
     return jnp.concatenate([even, odd], axis=-1)
 
 
-def _apply_split_t_perm_right(tree, y, precision):
+def _apply_split_t_perm_right(tree, y, precision, band_frac=None):
     """y @ (C_block^T · P^T)^T = y @ P·C_block — inverse of
     :func:`_apply_split_perm_right` along the last axis."""
     if not isinstance(tree, tuple):
-        return jnp.matmul(y, tree, precision=precision)
+        return _mm_banded_r(y, tree, precision, band_frac)
     n2 = y.shape[-1] // 2
-    u = _apply_split_t_perm_right(tree[0], y[..., :n2], precision)
+    u = _apply_split_t_perm_right(tree[0], y[..., :n2], precision,
+                                  band_frac)
     yo = y[..., n2:]
     v = (_hou_row_t(tree[1], yo, precision) if isinstance(tree[1], dict)
-         else jnp.matmul(yo, tree[1], precision=precision))
+         else _mm_banded_r(yo, tree[1], precision, band_frac))
     return jnp.concatenate([u + v, (u - v)[..., ::-1]], axis=-1)
 
 
@@ -516,11 +550,13 @@ def dct2_split_perm(U, tree, precision=jax.lax.Precision.HIGHEST,
 
 
 def idct2_split_perm(X, tree, precision=jax.lax.Precision.HIGHEST,
-                     constrain=lambda x: x):
+                     constrain=lambda x: x, band_frac=None):
     """Inverse from the permuted spectral basis (exact inverse of
-    :func:`dct2_split_perm`)."""
-    U = _apply_split_t_perm(tree, X, precision)
-    return _apply_split_t_perm_right(tree, constrain(U), precision)
+    :func:`dct2_split_perm`).  ``band_frac`` contracts the high-k tail
+    of every block at 1-pass bf16 (see :func:`_mmt_banded_l`)."""
+    U = _apply_split_t_perm(tree, X, precision, band_frac)
+    return _apply_split_t_perm_right(tree, constrain(U), precision,
+                                     band_frac)
 
 
 # --- level-1 field-fold variants: the hot loop's only consumers of U are
@@ -583,23 +619,24 @@ def dct2_split_perm_folded(V, tree, precision=jax.lax.Precision.HIGHEST,
 
 
 def idct2_split_perm_folded(X, tree, precision=jax.lax.Precision.HIGHEST,
-                            constrain=lambda x: x):
+                            constrain=lambda x: x, band_frac=None):
     """Inverse of :func:`dct2_split_perm_folded`, emitting the
     level-1-FOLDED field (bit-identical to
     ``fold1(idct2_split_perm(X))`` without the two reversals)."""
     if not isinstance(tree, tuple):
         raise ValueError("folded split variants need levels >= 1")
     n2 = X.shape[0] // 2
-    u = _apply_split_t_perm(tree[0], X[:n2], precision)
+    u = _apply_split_t_perm(tree[0], X[:n2], precision, band_frac)
     yo = X[n2:]
     v = (_hou_col_t(tree[1], yo, precision) if isinstance(tree[1], dict)
-         else jnp.matmul(tree[1].T, yo, precision=precision))
+         else _mmt_banded_l(tree[1], yo, precision, band_frac))
     U = constrain(jnp.concatenate([u + v, u - v], axis=0))
     m2 = U.shape[-1] // 2
-    u = _apply_split_t_perm_right(tree[0], U[..., :m2], precision)
+    u = _apply_split_t_perm_right(tree[0], U[..., :m2], precision,
+                                  band_frac)
     yo = U[..., m2:]
     v = (_hou_row_t(tree[1], yo, precision) if isinstance(tree[1], dict)
-         else jnp.matmul(yo, tree[1], precision=precision))
+         else _mm_banded_r(yo, tree[1], precision, band_frac))
     return jnp.concatenate([u + v, u - v], axis=-1)
 
 
@@ -646,11 +683,11 @@ def idct2_pencil(X, C, precision=jax.lax.Precision.HIGHEST,
 
 
 def idct2_split_perm_pencil(X, tree, precision=jax.lax.Precision.HIGHEST,
-                            constrain=lambda x: x):
+                            constrain=lambda x: x, band_frac=None):
     """Inverse of :func:`dct2_split_perm` with the last-axis stage first
     (pencil stage order; see the block comment above)."""
-    U = _apply_split_t_perm_right(tree, X, precision)
-    return _apply_split_t_perm(tree, constrain(U), precision)
+    U = _apply_split_t_perm_right(tree, X, precision, band_frac)
+    return _apply_split_t_perm(tree, constrain(U), precision, band_frac)
 
 
 def dct2_fft(U: jnp.ndarray, constrain=lambda x: x) -> jnp.ndarray:
