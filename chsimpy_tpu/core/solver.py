@@ -156,6 +156,35 @@ def resolve_fwd_matmul_precision(params: Parameters) -> str:
     return None
 
 
+def resolve_inv_band(params: Parameters):
+    """Banded-precision inverse cutoff (None = uniform precision).
+
+    Measured adoption (round 5, chip — scripts/probes/inv_band_split.py
+    / inv_band_attack.py): the CH spectrum's high-k tail is ~1.6e-4 of
+    the dominant band (k >= N/4, mid-coarsening), so contracting it at
+    1-pass bf16 leaves the full-run N=2048 E trace IDENTICAL to the
+    printed digit (3.41e-6 vs f64 truth, both routes, N/4 and N/8) with
+    stop steps inside the documented f32 scatter band — while cutting
+    the inverse's MXU passes in half below the cutoff: split route
+    N=2048 1433 -> 1669 steps/s (+16%), N=4096 265.6 -> 277.0 (+4%).
+
+    Auto engages under the same conditions as the asymmetric forward
+    (resolve_fwd_matmul_precision): float32, split route, N >= 2048,
+    no pinned --matmul-precision — and single-device only (the pencil
+    banding is wired but not yet measured under a mesh).  ``--inv-band
+    0`` forces uniform precision; an explicit value overrides."""
+    ib = getattr(params, 'inv_band', None)
+    if ib is not None:
+        return None if ib == 0 else ib
+    if (params.precision == 'float32'
+            and getattr(params, 'matmul_precision', None) is None
+            and params.N >= 2048
+            and params.mesh_shape is None
+            and _resolve_transform(params) == 'split'):
+        return params.N // 4
+    return None
+
+
 def resolve_ozaki_fwd_pairs(params: Parameters):
     """Forward pair cutoffs for the f64 ozaki transforms.
 
@@ -323,14 +352,16 @@ class Solver:
                 f"--split-levels {sl} needs N divisible by 2^levels "
                 f"(got N={N})")
         ib = getattr(params, 'inv_band', None)
-        if ib is not None:
+        if ib is not None and ib != 0:
             if params.precision != 'float32':
                 raise ValueError(
                     "--inv-band is a float32 fast-mode knob (a 1-pass "
                     "bf16 band would break the float64 validation "
                     "contract)")
             if not (0 < ib < N):
-                raise ValueError(f"--inv-band must be in (0, N), got {ib}")
+                raise ValueError(
+                    f"--inv-band must be in (0, N) or 0 for uniform "
+                    f"precision, got {ib}")
             if resolve_transform(params) not in ('matmul', 'split'):
                 raise ValueError(
                     "--inv-band applies to the matmul and split routes")
@@ -368,7 +399,7 @@ class Solver:
             matmul_precision=params.matmul_precision or (
                 'high' if params.precision == 'float32' else 'highest'),
             fwd_matmul_precision=resolve_fwd_matmul_precision(params),
-            inv_band=getattr(params, 'inv_band', None),
+            inv_band=resolve_inv_band(params),
             # f64 on TPU: restructured stats keep the 1e-10 E contract
             # (verified by on-chip golden replay); CPU f64 keeps the
             # reference summation order (bit-level validation path).

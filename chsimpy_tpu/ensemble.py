@@ -165,6 +165,11 @@ class EnsembleSolver:
                 'high' if params.precision == 'float32' else 'highest'),
             fwd_matmul_precision=solver_mod.resolve_fwd_matmul_precision(
                 params),
+            # banded inverse: honor an explicit --inv-band pin (vmapped
+            # banding is just two batched matmuls per stage); the AUTO
+            # gate stays single-run-only until measured under vmap
+            inv_band=(solver_mod.resolve_inv_band(params)
+                      if getattr(params, 'inv_band', None) else None),
             # f64 on TPU: restructured stats keep the 1e-10 E contract
             # (verified by on-chip golden replay); CPU f64 keeps the
             # reference summation order (bit-level validation path).
