@@ -41,16 +41,21 @@ def measure(ct, Solver, np, N, precision):
     p.generator = 'lcg'
     p.kappa_tilde = 2.98911291966116e-4
     p.ntmax = 1000000
-    p.chunk_size = 50
+    # chunk sizing: the remote tunnel costs ~100 ms per chunk round
+    # trip, so fast (f32) steps need big chunks to amortize it; slow
+    # f64 steps amortize at 128
+    chunk = 1024 if precision == 'float32' else 128
+    timed = chunk
+    p.chunk_size = chunk
     s = Solver(p)
     cfg = s.cfg
     s.prepare()
-    s.solve_or_resume(51)
+    s.solve_or_resume(chunk + 1)
     t0 = time.perf_counter()
-    s.solve_or_resume(100)
+    s.solve_or_resume(timed)
     dt = time.perf_counter() - t0
-    rate = 100.0 / dt
-    ms = 1000.0 * dt / 100.0
+    rate = timed / dt
+    ms = 1000.0 * dt / timed
 
     N3 = float(N) ** 3
     row = {'N': N, 'precision': precision,
@@ -63,9 +68,14 @@ def measure(ct, Solver, np, N, precision):
                       cfg.matmul_precision) == 'default' else 3
         p_inv = {'highest': 6, 'high': 3, 'default': 1}[
             cfg.matmul_precision]
+        if cfg.inv_band:
+            # banded inverse: low band keeps p_inv passes, tail runs 1
+            bfrac = cfg.inv_band / N
+            p_inv = p_inv * bfrac + 1.0 * (1.0 - bfrac)
         macs = 2.0 * N3 * m * (p_fwd + p_inv)
         flops = 2.0 * macs
-        row.update(levels=lv, mac_fraction=m, fwd_passes=p_fwd,
+        row.update(levels=lv, mac_fraction=m, inv_band=cfg.inv_band,
+                   fwd_passes=p_fwd,
                    inv_passes=p_inv, issued_bf16_flop_per_step=flops,
                    achieved_tflops=flops * rate / 1e12,
                    mxu_peak_pct=100.0 * flops * rate / BF16_PEAK,
