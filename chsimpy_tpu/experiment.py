@@ -263,6 +263,21 @@ def _host_pool_init():
         pass
 
 
+def _host_pool_warmup():
+    """No-op task that front-loads the worker's heavy imports.
+
+    A spawn worker pays its numpy/pandas/sympy/matplotlib imports on its
+    FIRST task; submitted at pool construction, those imports overlap
+    the device solve instead of serializing after it (measured ~1-2 s
+    per worker on the canonical R=16 profile,
+    scripts/probes/uq_smallr_profile.py)."""
+    import pandas  # noqa: F401  (csv export path)
+
+    from . import material  # noqa: F401  (sympy postprocessing)
+    from .io import csvio  # noqa: F401
+    return None
+
+
 def _host_member_task(rp, sol, run_id, fac_A0, fac_A1):
     """The per-member host pipeline: export + render + sympy postproc.
 
@@ -298,6 +313,11 @@ class HostPipeline:
             self._pool = ProcessPoolExecutor(
                 max_workers=procs, mp_context=mp.get_context('spawn'),
                 initializer=_host_pool_init)
+            # spawn + import the workers NOW (overlapped with the device
+            # solve) instead of on the first post-solve submit; results
+            # are discarded, failures surface on the first real drain
+            for _ in range(procs):
+                self._pool.submit(_host_pool_warmup)
 
     def submit(self, rp, sol, run_id, fac_A0, fac_A1, on_done=None):
         if self._pool is None:
@@ -436,6 +456,17 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
     width = exp_params.processes
     if width is None or width <= 0:
         width = nr_items
+        hp = getattr(exp_params, 'host_procs', -1)
+        if (nr_items >= 8 and mesh is None
+                and (hp is None or hp < 0 or hp > 1)):
+            # auto width: split a single-batch run in two so the first
+            # batch's host pipeline (export/render/sympy, ~1.4 s/member
+            # of mandatory CPU work) overlaps the second batch's device
+            # solve instead of serializing after it.  Measured on chip
+            # (R=16 sobol N=512 f32): 18.5 -> 16.6 s end-to-end; -P 4
+            # is worse again (17.8 s, per-batch ctor/prepare overhead).
+            # Explicit -P keeps full control (and old checkpoint widths).
+            width = (nr_items + 1) // 2
     width = _resolve_batch_width(width, init_params)
 
     import jax
@@ -700,8 +731,16 @@ def _distributed_mesh(exp_params, init_params):
 
 
 def main(argv=None):
+    import threading
+
     import chsimpy_tpu as _ct
     _ct.honor_jax_platforms_env()
+    # scipy.stats costs ~2 s of pure import (the sobol A-source needs
+    # qmc); start it on a daemon thread so it overlaps CLI parsing,
+    # sysinfo capture and backend init (generate_A_factors blocks on the
+    # module lock only for whatever remains)
+    threading.Thread(target=lambda: __import__('scipy.stats'),
+                     daemon=True).start()
     exp_cliparser = ExperimentCLIParser()
     exp_cliparser.cliparser.print_info()
     exp_params, init_params = exp_cliparser.get_parameters(argv)
