@@ -376,6 +376,26 @@ def _member_kappas(init_params, A_sub, sink):
     return np.array([table[(float(a0), float(a1))] for a0, a1 in A_sub])
 
 
+def _auto_batch_width(nr_items, exp_params, mesh):
+    """Device batch width when -P is auto (-1).
+
+    Default is everything at once, EXCEPT: a single-batch run serializes
+    ALL its host work (export/render/sympy, ~1.4 s/member of mandatory
+    CPU time) after the solve, so with the host pipeline on and >= 8
+    members the run splits in two — batch 1's host pipeline hides
+    behind batch 2's device solve.  Measured on chip (R=16 sobol N=512
+    f32): 18.5 -> 16.6 s end-to-end; splitting four ways regresses
+    (17.8 s, per-batch ctor/prepare overhead); R=64 is neutral-to-better
+    (40-41.6 vs 42.4 s).  Explicit -P keeps full control (and old
+    checkpoint widths).  Under a device mesh the width maps to the 'ens'
+    axis, so auto stays single-batch there."""
+    hp = getattr(exp_params, 'host_procs', -1)
+    if (nr_items >= 8 and mesh is None
+            and (hp is None or hp < 0 or hp > 1)):
+        return (nr_items + 1) // 2
+    return nr_items
+
+
 def _resolve_batch_width(width, init_params):
     """Clamp the device batch width where measurement says so.
 
@@ -455,18 +475,7 @@ def run_experiment_batch(init_params, exp_params, A_list=None, U_init=None,
     plan_digest = a_plan_digest(A_pairs, facs)
     width = exp_params.processes
     if width is None or width <= 0:
-        width = nr_items
-        hp = getattr(exp_params, 'host_procs', -1)
-        if (nr_items >= 8 and mesh is None
-                and (hp is None or hp < 0 or hp > 1)):
-            # auto width: split a single-batch run in two so the first
-            # batch's host pipeline (export/render/sympy, ~1.4 s/member
-            # of mandatory CPU work) overlaps the second batch's device
-            # solve instead of serializing after it.  Measured on chip
-            # (R=16 sobol N=512 f32): 18.5 -> 16.6 s end-to-end; -P 4
-            # is worse again (17.8 s, per-batch ctor/prepare overhead).
-            # Explicit -P keeps full control (and old checkpoint widths).
-            width = (nr_items + 1) // 2
+        width = _auto_batch_width(nr_items, exp_params, mesh)
     width = _resolve_batch_width(width, init_params)
 
     import jax

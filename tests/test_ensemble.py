@@ -508,6 +508,55 @@ def test_experiment_host_pipeline_pool_matches_sync(tmp_path, monkeypatch):
         assert filecmp.cmp(str(fa), str(fb), shallow=False)
 
 
+def test_auto_batch_width_splits_for_host_overlap():
+    """Auto -P splits a single-batch run in two (>= 8 members, host pool
+    on, no mesh) so host work overlaps the second batch's solve;
+    explicit widths / synchronous pipeline / mesh runs are untouched."""
+    from chsimpy_tpu.experiment import _auto_batch_width
+    ep = ExperimentParams()           # host_procs = -1 (pool on)
+    assert _auto_batch_width(16, ep, None) == 8
+    assert _auto_batch_width(9, ep, None) == 5
+    assert _auto_batch_width(7, ep, None) == 7    # below the threshold
+    ep.host_procs = 1                 # synchronous: nothing to overlap
+    assert _auto_batch_width(16, ep, None) == 16
+    ep.host_procs = -1
+    assert _auto_batch_width(16, ep, object()) == 16  # mesh: ens axis
+
+
+def test_experiment_auto_split_matches_single_batch(tmp_path, monkeypatch):
+    """The auto two-batch split produces exactly the rows and files of a
+    single-batch run (members are vmap-independent; row order is run-id
+    order either way)."""
+    import filecmp
+
+    def run(sub, procs):
+        d = tmp_path / sub
+        d.mkdir()
+        monkeypatch.chdir(d)
+        p = base_params(N=32, ntmax=20)
+        p.file_id = 'asplit'
+        p.yaml = True
+        p.export_csv = 'E2'
+        p.compress_csv = False
+        ep = ExperimentParams()
+        ep.runs = 8
+        ep.A_seed = 85972
+        ep.processes = procs
+        ep.host_procs = 2
+        return run_experiment_batch(p, ep, progress=False), d
+
+    rows_auto, d_auto = run('auto', -1)   # -> widths 4 + 4
+    rows_one, d_one = run('one', 8)       # -> one width-8 batch
+    assert len(rows_auto) == 8
+    for a, b in zip(rows_one, rows_auto):
+        assert a == b
+    for r in range(8):
+        fa = d_one / f'asplit-run{r}.solution.E2.csv'
+        fb = d_auto / f'asplit-run{r}.solution.E2.csv'
+        assert fa.exists() and fb.exists()
+        assert filecmp.cmp(str(fa), str(fb), shallow=False)
+
+
 def test_f64_batch_width_clamp(monkeypatch):
     """float64 ozaki ensembles on TPU run four-wide device batches (the
     chip backend miscompiles/serializes batched transforms at >= 8)."""
