@@ -146,6 +146,12 @@ FLAGS = [
          'dominant low band keeps --matmul-precision (measured verdict: '
          'PERFORMANCE.md round 5)',
          param='inv_band', type=int, default=None),
+    Flag(('--otf-coeffs',), 'TPU',
+         'Rebuild the Seig/CHeig update grids per step from the 1-D '
+         'eigenvalue axis instead of streaming two (N,N) fields from '
+         'HBM (1 = on, 0 = off; default: auto — on for the f32 split '
+         'route at N>=2048, where the step is bandwidth-bound)',
+         param='otf_coeffs', type=int, default=None, choices=[0, 1]),
     # --- Input (reference cli_parser.py:88-94) ---
     Flag(('-p', '--parameter-file'), 'Input',
          'Input yaml file with parameter values (overwrites CLI '

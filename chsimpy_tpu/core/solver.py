@@ -185,6 +185,31 @@ def resolve_inv_band(params: Parameters):
     return None
 
 
+def resolve_otf_coeffs(params: Parameters):
+    """Per-step on-the-fly Seig/CHeig rebuild (coeffs.get_coefficients_axis).
+
+    Auto engages under the f32 fast-mode gate (float32, split route,
+    N >= 2048, single device, no pinned --matmul-precision — the same
+    conditions as the asymmetric forward and the banded inverse): the
+    step there is HBM-bound (PERFORMANCE.md round-5 roofline) and the
+    rebuild drops 2 full-field reads per step for ~5 VPU flops/element.
+    The only numerical delta is <=1 ULP on the leig broadcast add
+    (f32(e_i)+f32(e_j) vs the stored grid's f64 add then cast), measured
+    sub-noise on the E trace.  float64 keeps the stored grids: the
+    validation contract is bit-level and the emulated-f64 rebuild would
+    cost, not save.  ``--otf-coeffs 1`` forces it on (any route that
+    reads Seig/CHeig, incl. vmapped ensembles — saves the per-member
+    (N, N) CHeig batch); ``0`` forces off."""
+    oc = getattr(params, 'otf_coeffs', None)
+    if oc is not None:
+        return bool(oc)
+    return (params.precision == 'float32'
+            and getattr(params, 'matmul_precision', None) is None
+            and params.N >= 2048
+            and params.mesh_shape is None
+            and _resolve_transform(params) == 'split')
+
+
 def resolve_ozaki_fwd_pairs(params: Parameters):
     """Forward pair cutoffs for the f64 ozaki transforms.
 
@@ -400,6 +425,7 @@ class Solver:
                 'high' if params.precision == 'float32' else 'highest'),
             fwd_matmul_precision=resolve_fwd_matmul_precision(params),
             inv_band=resolve_inv_band(params),
+            otf_coeffs=resolve_otf_coeffs(params),
             # f64 on TPU: restructured stats keep the 1e-10 E contract
             # (verified by on-chip golden replay); CPU f64 keeps the
             # reference summation order (bit-level validation path).

@@ -166,6 +166,11 @@ class StepConfig:
     # band keeps mm_precision (ops/dct.py idct2_banded — measured
     # verdict in PERFORMANCE.md round 5)
     inv_band: Optional[int] = None
+    # rebuild Seig/CHeig per step from the 1-D eigenvalue axis instead
+    # of streaming two precomputed (N, N) grids — an HBM-bytes-for-VPU-
+    # flops trade on the bandwidth-bound f32 step
+    # (coeffs.get_coefficients_axis; resolver gate in core/solver.py)
+    otf_coeffs: bool = False
 
     @property
     def mm_precision(self):
@@ -235,8 +240,19 @@ def make_consts(cfg: StepConfig, delt: float,
         tree = ()
     CHeig, Seig = coeffs_ops.get_coefficients(
         leig, jnp.asarray(kt, dtype), jnp.asarray(delt, dtype), cfg.delx2)
+    # 1-D eigenvalue axis in the SAME basis order as leig (split/rfold
+    # permute it): the otf_coeffs path rebuilds the coefficient grids
+    # from this per step instead of reading them from HBM
+    eaxis = coeffs_ops.eigenvalue_axis(cfg.N)
+    if cfg.transform_backend == 'split':
+        eaxis = dct_ops.split_permute_axis(eaxis, cfg.N,
+                                           cfg.split_levels_resolved)
+    elif cfg.transform_backend == 'ozaki' and cfg.ozaki_rfold_levels:
+        eaxis = dct_ops.split_permute_axis(eaxis, cfg.N,
+                                           cfg.ozaki_rfold_levels)
     _zu = jnp.zeros((0,), jnp.uint32)
     return {'C': C, 'Cs': Cs, 'CsT': CsT, 'leig': leig, 'tree': tree,
+            'eaxis': jnp.asarray(eaxis, dtype),
             'CHeig': CHeig.astype(dtype), 'Seig': Seig.astype(dtype),
             'A0': jnp.asarray(A0, jnp.float64),
             'A1': jnp.asarray(A1, jnp.float64),
@@ -250,7 +266,7 @@ def make_consts(cfg: StepConfig, delt: float,
 
 
 CONSTS_BATCH_AXES = {'C': None, 'Cs': None, 'CsT': None, 'leig': None,
-                     'tree': None, 'CHeig': 0,
+                     'tree': None, 'eaxis': None, 'CHeig': 0,
                      'Seig': None, 'A0': 0, 'A1': 0, 'kappa_tilde': 0,
                      'CeS': None, 'CoS': None, 'CeTS': None, 'CoTS': None,
                      'sobol_sv': None, 'sobol_shift': None,
@@ -543,7 +559,16 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
         Seig = c_spec(Seig)
     else:
         delt = state.delt
-        CHeig, Seig = consts['CHeig'], consts['Seig']
+        if cfg.otf_coeffs:
+            # HBM trade: broadcast-rebuild the coefficient grids from
+            # the (N,) axis inside the update's fused elementwise op —
+            # drops 2 full-field reads per step on the bandwidth-bound
+            # f32 path (resolver gate + measurements: PERFORMANCE.md)
+            CHeig, Seig = coeffs_ops.get_coefficients_axis(
+                consts['eaxis'], consts['kappa_tilde'].astype(dtype),
+                delt.astype(dtype), cfg.delx2)
+        else:
+            CHeig, Seig = consts['CHeig'], consts['Seig']
 
     # --- time accumulation; limit hit aborts BEFORE the field update
     # (solver.py:195-199) ---

@@ -170,6 +170,11 @@ class EnsembleSolver:
             # gate stays single-run-only until measured under vmap
             inv_band=(solver_mod.resolve_inv_band(params)
                       if getattr(params, 'inv_band', None) else None),
+            # same pin-only rule as inv_band: the per-step coefficient
+            # rebuild composes with vmap (kappa is a batched scalar) but
+            # the AUTO gate stays single-run until measured there
+            otf_coeffs=(solver_mod.resolve_otf_coeffs(params)
+                        if getattr(params, 'otf_coeffs', None) else False),
             # f64 on TPU: restructured stats keep the 1e-10 E contract
             # (verified by on-chip golden replay); CPU f64 keeps the
             # reference summation order (bit-level validation path).
@@ -256,8 +261,8 @@ class EnsembleSolver:
                 'A0': jnp.asarray(self.A0s),
                 'A1': jnp.asarray(self.A1s),
                 'kappa_tilde': kts,
-                **{k: base[k] for k in ('CeS', 'CoS', 'CeTS', 'CoTS',
-                                        'sobol_sv', 'sobol_shift',
+                **{k: base[k] for k in ('eaxis', 'CeS', 'CoS', 'CeTS',
+                                        'CoTS', 'sobol_sv', 'sobol_shift',
                                         'sobol_base', 'rf')}}
 
     def _shard(self, tree):

@@ -501,6 +501,14 @@ def split_permute_grid(G: np.ndarray, N: int, levels: int) -> np.ndarray:
     return np.asarray(G)[np.ix_(p, p)]
 
 
+def split_permute_axis(v: np.ndarray, N: int, levels: int) -> np.ndarray:
+    """Permute a 1-D spectral axis into the split block order — the
+    separable factor of :func:`split_permute_grid` (``G[ix_(p, p)]``),
+    for grids that are elementwise in ``e[i] + e[j]`` and get rebuilt
+    on device from the axis (coeffs.get_coefficients_axis)."""
+    return np.asarray(v)[_split_permutation_np(N, levels)]
+
+
 def _mm_nt(x, m, precision):
     """x @ m^T without materializing the transpose: contract x's last axis
     with m's axis 1 via dot_general (XLA folds the layout into the MXU

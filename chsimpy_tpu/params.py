@@ -113,6 +113,11 @@ class Parameters:
     # spectrum's high-k tail is ~1e-4 of the dominant band mid-run), the
     # low band keeps matmul_precision.  None = uniform precision
     inv_band: Optional[int] = None
+    # rebuild Seig/CHeig per step from the 1-D eigenvalue axis instead of
+    # streaming two (N, N) grids from HBM (an HBM-bytes-for-VPU-flops
+    # trade on the bandwidth-bound f32 step).  None = auto (resolver in
+    # core/solver.py), 0 = off, 1 = on
+    otf_coeffs: Optional[int] = None
     # 2-D DCT route: 'matmul' (C·U·Cᵀ on the MXU; shards under a mesh),
     # 'fft' (Makhoul rFFT, O(N² log N) — measured faster at N>=1024 f32),
     # 'auto' resolves per precision/N/mesh (see core/solver.py)

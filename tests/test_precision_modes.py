@@ -69,3 +69,46 @@ def test_jitter_out_of_range_ignored():
     sj = ct.Simulator(pj).solve()
     s0 = ct.Simulator(p0).solve()
     np.testing.assert_array_equal(sj.U, s0.U)
+
+
+def test_otf_coeffs_f32_tracks_stored_grids():
+    """On-the-fly Seig/CHeig rebuild (get_coefficients_axis): the only
+    numerical delta vs the stored grids is <=1 ULP on the leig broadcast
+    add, so the f32 split trajectory must agree to ~1e-8 relative in E
+    (the route's own f32 noise vs f64 truth is ~3e-6)."""
+    base = dict(N=64, ntmax=120, precision='float32',
+                transform_backend='split')
+    s0 = ct.Simulator(params(otf_coeffs=0, **base)).solve()
+    s1 = ct.Simulator(params(otf_coeffs=1, **base)).solve()
+    assert s1.computed_steps == s0.computed_steps
+    E0 = np.asarray(s0.E[:s0.computed_steps])
+    E1 = np.asarray(s1.E[:s1.computed_steps])
+    np.testing.assert_allclose(E1, E0, rtol=1e-7)
+
+
+def test_otf_coeffs_f64_bit_identical():
+    """In float64 the axis rebuild reproduces the stored grids bit-for-
+    bit on the CPU backend (f64(e_i)+f64(e_j) IS how the grid was built),
+    for both the split and the rfold-permuted ozaki basis orders."""
+    for route in ('split', 'ozaki'):
+        base = dict(N=32, ntmax=60, precision='float64',
+                    transform_backend=route)
+        s0 = ct.Simulator(params(otf_coeffs=0, **base)).solve()
+        s1 = ct.Simulator(params(otf_coeffs=1, **base)).solve()
+        np.testing.assert_array_equal(np.asarray(s1.U), np.asarray(s0.U))
+        np.testing.assert_array_equal(np.asarray(s1.E), np.asarray(s0.E))
+
+
+def test_otf_coeffs_resolver_gate():
+    from chsimpy_tpu.core.solver import resolve_otf_coeffs
+    p = params(N=4096, precision='float32')
+    assert resolve_otf_coeffs(p) is True
+    assert resolve_otf_coeffs(params(N=512, precision='float32')) is False
+    assert resolve_otf_coeffs(params(N=4096, precision='float64')) is False
+    p = params(N=4096, precision='float32', matmul_precision='highest')
+    assert resolve_otf_coeffs(p) is False      # accuracy-pinned run
+    p = params(N=4096, precision='float32')
+    p.mesh_shape = (1, 2)
+    assert resolve_otf_coeffs(p) is False      # single-device only (auto)
+    p = params(N=512, precision='float64', otf_coeffs=1)
+    assert resolve_otf_coeffs(p) is True       # explicit pin wins
