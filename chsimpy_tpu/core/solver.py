@@ -390,6 +390,12 @@ class Solver:
             if resolve_transform(params) not in ('matmul', 'split'):
                 raise ValueError(
                     "--inv-band applies to the matmul and split routes")
+        if getattr(params, 'spectral_bf16', False):
+            # probe-only knob (measured negative — params.py); keep the
+            # contract guard so the probe can't be misapplied
+            if params.precision != 'float32' or params.mesh_shape:
+                raise ValueError("spectral_bf16 is a single-device "
+                                 "float32 probe knob")
         fold_field = resolve_fold_field(params)
         if fold_field:
             if params.mesh_shape is not None:
@@ -426,6 +432,7 @@ class Solver:
             fwd_matmul_precision=resolve_fwd_matmul_precision(params),
             inv_band=resolve_inv_band(params),
             otf_coeffs=resolve_otf_coeffs(params),
+            spectral_bf16=bool(getattr(params, 'spectral_bf16', False)),
             # f64 on TPU: restructured stats keep the 1e-10 E contract
             # (verified by on-chip golden replay); CPU f64 keeps the
             # reference summation order (bit-level validation path).
@@ -530,7 +537,10 @@ class Solver:
             U0_state = self._fold1_dev(U0)
         self._state = state_mod.init_state(
             U0=U0_state,
-            hat_U0=jnp.zeros_like(U0),  # rebuilt at solve entry
+            # rebuilt at solve entry; carried bf16 under --spectral-bf16
+            hat_U0=jnp.zeros_like(
+                U0, dtype=(jnp.bfloat16 if self.cfg.spectral_bf16
+                           else U0.dtype)),
             delt=self.delt,
             E2_first=E2,
             chunk_cap=self.chunk_size,
@@ -626,7 +636,10 @@ class Solver:
             self._consts = dict(self._consts,
                                 sobol_base=jnp.asarray(base, jnp.uint32))
         # reference recomputes the spectral image at every (re)entry
-        state = state.replace(hat_U=self._dct2(state.U, self._consts))
+        hat_U0 = self._dct2(state.U, self._consts)
+        if self.cfg.spectral_bf16:
+            hat_U0 = hat_U0.astype(jnp.bfloat16)
+        state = state.replace(hat_U=hat_U0)
         if n_iters > 0:
             # reference parity: the loop does not check a previous stop —
             # re-entering after a stop continues the simulation

@@ -171,6 +171,14 @@ class StepConfig:
     # flops trade on the bandwidth-bound f32 step
     # (coeffs.get_coefficients_axis; resolver gate in core/solver.py)
     otf_coeffs: bool = False
+    # PROBE-ONLY, MEASURED NEGATIVE (scripts/probes/spectral_bf16_probe
+    # .py, PERFORMANCE.md round 5): bf16-stored spectral state.  The
+    # hoped-for HBM halving of hat_U's 2F/step did not materialize
+    # (286.5 vs 286.8 steps/s at N=4096) AND the carried-state rounding
+    # compounds through the recurrence: N=2048 stop 2060 -> 2548
+    # (+24.9%), E max rel 3.4e-6 -> 1.9e-5.  Kept as the measurement
+    # apparatus; no CLI surface
+    spectral_bf16: bool = False
 
     @property
     def mm_precision(self):
@@ -758,6 +766,11 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
             stop = jnp.where(trigger, STOP_ENERGY, STOP_NONE).astype(jnp.int32)
         stop = jnp.where(has_nan, STOP_NAN, stop).astype(jnp.int32)
 
+        if cfg.spectral_bf16:
+            # bf16 storage: this step's inverse consumed the full-
+            # precision in-register hat_U; only the carried state is
+            # rounded (the next step's read promotes bf16 -> f32)
+            hat_U = hat_U.astype(jnp.bfloat16)
         return state.replace(
             U=U, hat_U=hat_U, delt=delt, time_delta_sum=tds,
             computed_steps=steps_new, skip_check=skip_check,

@@ -118,6 +118,10 @@ class Parameters:
     # trade on the bandwidth-bound f32 step).  None = auto (resolver in
     # core/solver.py), 0 = off, 1 = on
     otf_coeffs: Optional[int] = None
+    # MEASURED NEGATIVE, probe-only (scripts/probes/spectral_bf16_probe
+    # .py): bf16-stored spectral state — no speed gain AND the carried-
+    # state rounding compounds (stop step +25% at N=2048).  No CLI flag
+    spectral_bf16: bool = False
     # 2-D DCT route: 'matmul' (C·U·Cᵀ on the MXU; shards under a mesh),
     # 'fft' (Makhoul rFFT, O(N² log N) — measured faster at N>=1024 f32),
     # 'auto' resolves per precision/N/mesh (see core/solver.py)
