@@ -55,6 +55,10 @@ def test_tpu_flags():
     assert p.chunk_size == 256
     assert p.mesh_shape == (2, 4)
     assert p.jitter_backend == 'device'
+    p = parse(['--inv-band', '512', '--otf-coeffs', '1'])
+    assert p.inv_band == 512
+    assert p.otf_coeffs == 1
+    assert parse([]).otf_coeffs is None      # auto
 
 
 @pytest.mark.parametrize('argv', [
@@ -67,6 +71,7 @@ def test_tpu_flags():
     ['-C'],                       # compress without export
     ['--mesh', 'foo'],
     ['--checkpoint-every', '50'],  # requires --checkpoint-file
+    ['--otf-coeffs', '2'],         # only 0/1
 ])
 def test_invalid_args_exit(argv):
     with pytest.raises(SystemExit):
