@@ -560,9 +560,17 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
                              0.75 * delt + 0.25 * delt_new, delt_new)
 
         delt = jnp.where(do_adapt, adapted(state.delt), state.delt)
-        CHeig, Seig = coeffs_ops.get_coefficients(
-            consts['leig'], consts['kappa_tilde'].astype(dtype),
-            delt.astype(dtype), cfg.delx2)
+        if cfg.otf_coeffs:
+            # adaptive rebuilds every step anyway; the axis form drops
+            # the (N, N) leig read as well (same <=1 ULP leig delta as
+            # the non-adaptive path below)
+            CHeig, Seig = coeffs_ops.get_coefficients_axis(
+                consts['eaxis'], consts['kappa_tilde'].astype(dtype),
+                delt.astype(dtype), cfg.delx2)
+        else:
+            CHeig, Seig = coeffs_ops.get_coefficients(
+                consts['leig'], consts['kappa_tilde'].astype(dtype),
+                delt.astype(dtype), cfg.delx2)
         CHeig = c_spec(CHeig)
         Seig = c_spec(Seig)
     else:

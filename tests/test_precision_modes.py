@@ -90,9 +90,10 @@ def test_otf_coeffs_f64_bit_identical():
     """In float64 the axis rebuild reproduces the stored grids bit-for-
     bit on the CPU backend (f64(e_i)+f64(e_j) IS how the grid was built),
     for both the split and the rfold-permuted ozaki basis orders."""
-    for route in ('split', 'ozaki'):
+    for route, adaptive in (('split', False), ('ozaki', False),
+                            ('split', True)):
         base = dict(N=32, ntmax=60, precision='float64',
-                    transform_backend=route)
+                    transform_backend=route, adaptive_time=adaptive)
         s0 = ct.Simulator(params(otf_coeffs=0, **base)).solve()
         s1 = ct.Simulator(params(otf_coeffs=1, **base)).solve()
         np.testing.assert_array_equal(np.asarray(s1.U), np.asarray(s0.U))
