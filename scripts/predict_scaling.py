@@ -41,14 +41,15 @@ os.environ['XLA_FLAGS'] = (
 os.environ['JAX_PLATFORMS'] = 'cpu'
 
 # measured single-chip ms/step (PERFORMANCE.md; f32 rows carry the
-# round-4 asymmetric-forward default — 225.2 steps/s official bench at
-# 4096 — the honest denominator for "efficiency vs the best single
-# chip" even though the sharded run cannot use fold-field)
+# round-5 defaults — asymmetric forward + banded inverse + otf
+# coefficient rebuild — the honest denominator for "efficiency vs the
+# best single chip" even though the sharded run cannot use fold-field
+# and the banded/otf auto gates stay single-device)
 SINGLE_CHIP_MS = {
-    ('float32', 2048): 0.91,
-    ('float32', 4096): 4.44,   # 225.2 steps/s, asymmetric fwd (round 4)
-    ('float32', 8192): 35.8,   # 28.0 steps/s steady-state (round 4)
-    ('float64', 4096): 51.3,   # ozaki rfold2 + forward trim (19.5 steps/s r4)
+    ('float32', 2048): 0.63,   # 1608-1625 steps/s (round 5)
+    ('float32', 4096): 3.45,   # 289.8-291.7 steps/s (round 5)
+    ('float32', 8192): 27.8,   # 36.0 steps/s (round 5)
+    ('float64', 4096): 51.5,   # ozaki rfold2 + fwd trim, 19.4 steps/s (r5)
 }
 
 ICI_LINK_GBS = 45.0      # one-way per link, v5e
