@@ -137,9 +137,14 @@ FLAGS = [
     Flag(('--ozaki-fwd-pairs',), 'TPU',
          'Stage pair cutoffs "S1,S2" for the FORWARD float64 ozaki '
          'transform (default 3,5 — E at the floor with 2 slots of '
-         'margin; 2,4 = fastest contract-passing; 5,7 = untrimmed). '
-         'The inverse always runs 5,7',
+         'margin; 2,4 = fastest contract-passing; 5,7 = untrimmed)',
          param='ozaki_fwd_pairs', default=None),
+    Flag(('--ozaki-inv-pairs',), 'TPU',
+         'Stage pair cutoffs "S1,S2" for the INVERSE float64 ozaki '
+         'transform, rfold route (default 3,5 — same measured margin '
+         'structure as the forward, all exact-stop goldens hold; '
+         '5,7 = untrimmed)',
+         param='ozaki_inv_pairs', default=None),
     Flag(('--inv-band',), 'TPU',
          'Experimental banded-precision inverse (matmul route only): '
          'spectral rows/cols >= this index contract at 1-pass bf16, the '
@@ -262,15 +267,17 @@ class CLIParser:
             except ValueError:
                 self.parser.error('--mesh must look like "2x4"')
 
-        if isinstance(params.ozaki_fwd_pairs, str):
-            try:
-                s1, s2 = (int(v) for v in params.ozaki_fwd_pairs.split(','))
-            except ValueError:
-                self.parser.error('--ozaki-fwd-pairs must look like "3,5"')
-            if not (0 <= s1 <= 7 and 0 <= s2 <= 7):
-                self.parser.error('--ozaki-fwd-pairs cutoffs must be in '
-                                  '[0, 7]')
-            params.ozaki_fwd_pairs = (s1, s2)
+        for pflag in ('ozaki_fwd_pairs', 'ozaki_inv_pairs'):
+            raw = getattr(params, pflag)
+            if isinstance(raw, str):
+                flag = '--' + pflag.replace('_', '-')
+                try:
+                    s1, s2 = (int(v) for v in raw.split(','))
+                except ValueError:
+                    self.parser.error(f'{flag} must look like "3,5"')
+                if not (0 <= s1 <= 7 and 0 <= s2 <= 7):
+                    self.parser.error(f'{flag} cutoffs must be in [0, 7]')
+                setattr(params, pflag, (s1, s2))
 
         # cross-flag validation (reference cli_parser.py:146-153)
         if params.update_every is not None and params.update_every < 2:

@@ -232,9 +232,39 @@ def resolve_ozaki_fwd_pairs(params: Parameters):
     (3, 5) is the default: one canonical run is one sample, so the
     default keeps two powers of 128 between its trim term and the
     measured cliff; set params.ozaki_fwd_pairs = (2, 4) to trade that
-    margin for +4%, or (5, 7) to disable trimming.  The INVERSE always
-    runs the contract-validated (5, 7)."""
+    margin for +4%, or (5, 7) to disable trimming.  The INVERSE trim
+    has its own resolver (resolve_ozaki_inv_pairs)."""
     pairs = getattr(params, 'ozaki_fwd_pairs', None)
+    if pairs is not None:
+        return tuple(pairs)
+    return (3, 5)
+
+
+def resolve_ozaki_inv_pairs(params: Parameters):
+    """INVERSE pair cutoffs for the f64 ozaki rfold route.
+
+    Round 4 left the inverse at the untrimmed (5, 7) on the argument
+    that it has no damping shield — its output IS the field.  Round 5
+    measured it (scripts/probes/ozaki_inv_trim.py + /tmp margin sweep,
+    N=1024 full-run golden, rfold production path, fwd trim active):
+
+        inv pairs  max rel E    stop        N=4096 f64 steps/s
+        (5, 7)     5.619e-11    1837 exact  17.5  (same-day baseline)
+        (4, 6)     5.619e-11    1837 exact  21.1
+        (3, 5)     5.609e-11    1837 exact  23.4  <- default (+34%)
+        (2, 4)     4.300e-11    1837 exact  —     fastest passing
+        (2, 3)     4.490e-09    1808 FAIL   —     the cliff
+        (1, 2)     9.818e-06    1494 FAIL   —
+
+    Identical margin structure to the forward: the E floor is untouched
+    down to (2, 4) and the cliff sits at (2, 3), so the (3, 5) default
+    keeps the same two-powers-of-128 distance from the breach as the
+    forward's.  Gated by the full chip golden-replay battery (all
+    exact stops, E <= 6.3e-11).  Applies to the RFOLD inverse only —
+    the unfolded/folded inverse variants (ensemble width gates, pencil)
+    keep (5, 7) until measured on those paths.  Set
+    params.ozaki_inv_pairs = (5, 7) to disable trimming."""
+    pairs = getattr(params, 'ozaki_inv_pairs', None)
     if pairs is not None:
         return tuple(pairs)
     return (3, 5)
@@ -448,6 +478,7 @@ class Solver:
                         and params.mesh_shape is None and N % 2 == 0),
             ozaki_rfold_levels=_resolve_rfold_levels(params),
             ozaki_fwd_pairs=resolve_ozaki_fwd_pairs(params),
+            ozaki_inv_pairs=resolve_ozaki_inv_pairs(params),
             # the split and ozaki routes shard via the pencil layout (2
             # transpose all-to-alls per step — for ozaki, of the int8
             # slice stacks) instead of the 2-D grid contraction; needs

@@ -129,6 +129,11 @@ class StepConfig:
     # damping, so the forward tolerates fewer passes — measured gates in
     # PERFORMANCE.md round 4.  The inverse always keeps (5, 7).
     ozaki_fwd_pairs: Optional[tuple] = None
+    # INVERSE pair cutoffs (rfold route); None = untrimmed (5, 7).  The
+    # trim is measured against the full f64 contract in its own right
+    # (no damping shield): scripts/probes/ozaki_inv_trim.py +
+    # resolve_ozaki_inv_pairs
+    ozaki_inv_pairs: Optional[tuple] = None
     # pencil (1-D) sharded layout for the split route under a mesh: the
     # field is column-sharded over every device, the spectral image
     # row-sharded, each 1-D transform stage runs on a LOCAL axis, and the
@@ -652,11 +657,14 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
             # Pallas pass (measured 3.0 vs 4.6 ms per N=4096 field,
             # bit-identical slices — PERFORMANCE.md)
             pslice = cfg.kernel_backend == 'pallas'
-            # forward pair cutoffs: the nonlinear term's spectral image
-            # rides the semi-implicit damping, so its transform may run
-            # trimmed passes (cfg.ozaki_fwd_pairs); the inverse ALWAYS
-            # keeps the contract-validated (5, 7)
+            # pair cutoffs: the forward (nonlinear-term) transform rides
+            # the semi-implicit damping; the rfold INVERSE trim is
+            # measured against the full contract in its own right
+            # (resolve_ozaki_inv_pairs — same margin structure).  The
+            # unfolded/folded inverse variants keep (5, 7)
             fs1, fs2 = (cfg.ozaki_fwd_pairs
+                        or (ozaki_ops.STAGE1_PAIR, ozaki_ops.STAGE2_PAIR))
+            is1, is2 = (cfg.ozaki_inv_pairs
                         or (ozaki_ops.STAGE1_PAIR, ozaki_ops.STAGE2_PAIR))
             if cfg.ozaki_rfold_levels:
                 L = cfg.ozaki_rfold_levels
@@ -667,7 +675,7 @@ def _step(cfg: StepConfig, consts, state: SolverState, jitter_slab,
                 hat_U = constrain((state.hat_U + Seig * hat_E) / CHeig)
                 U = ozaki_ops.idct2_ozaki_rfold(
                     hat_U, consts['rf'], sc, L, constrain=constrain,
-                    pallas_slice=pslice)
+                    pallas_slice=pslice, s1=is1, s2=is2)
             elif cfg.ozaki_fold:
                 fs = {k: consts[k] for k in ('CeS', 'CoS', 'CeTS', 'CoTS')}
                 fs['scale'] = ozaki_ops.dct_fold_scale(cfg.N)

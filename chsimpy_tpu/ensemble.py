@@ -203,6 +203,13 @@ class EnsembleSolver:
                 if (self.R <= 4 or jax.default_backend() != 'tpu')
                 else 0),
             ozaki_fwd_pairs=solver_mod.resolve_ozaki_fwd_pairs(params),
+            # inverse trim: pin-only under vmap (the single-run default
+            # (3, 5) is measured on the non-batched rfold path; this
+            # route's chip history — the B>=8 miscompiles — earns it a
+            # measured gate before any vmapped default)
+            ozaki_inv_pairs=(tuple(params.ozaki_inv_pairs)
+                             if getattr(params, 'ozaki_inv_pairs', None)
+                             else None),
             # grid-sharded member fields under the split/ozaki routes use
             # the pencil layout (vmap adds the member axis to the pencil
             # specs automatically; 2 transpose all-to-alls per step)

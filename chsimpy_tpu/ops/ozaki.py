@@ -692,7 +692,7 @@ def dct2_ozaki_rfold(U, rf, m_scale, levels, constrain=lambda x: x,
     return _dc_add(Y, m * N)
 
 
-def _rfold_inv_rows(t, rf, levels, row0=0, size=None):
+def _rfold_inv_rows(t, rf, levels, row0=0, size=None, s1=STAGE1_PAIR):
     """Stage 1 of the inverse: int32 groups of C^T X from the sliced
     permuted operand ``t`` ([S, N, N]); recursion assembles
     [a + b; flip(a - b)] at the group level (exact: one slice scale, one
@@ -704,17 +704,17 @@ def _rfold_inv_rows(t, rf, levels, row0=0, size=None):
     if levels == 0:
         Bs, BsT = rf[0]
         sub = t[:, row0:row0 + size, :]
-        return _pair_groups(BsT, sub, _dot_left, max_pair=STAGE1_PAIR)
+        return _pair_groups(BsT, sub, _dot_left, max_pair=s1)
     o_idx = levels  # rf index of this level's odd block: [E, O_L, .., O_1]
-    a = _rfold_inv_rows(t, rf[:o_idx], levels - 1, row0, h)
+    a = _rfold_inv_rows(t, rf[:o_idx], levels - 1, row0, h, s1=s1)
     _Bs, BoT = rf[o_idx]
     sub = t[:, row0 + h:row0 + size, :]
-    b = _pair_groups(BoT, sub, _dot_left, max_pair=STAGE1_PAIR)
+    b = _pair_groups(BoT, sub, _dot_left, max_pair=s1)
     return [jnp.concatenate([x + y, (x - y)[::-1, :]], axis=0)
             for x, y in zip(a, b)]
 
 
-def _rfold_inv_cols(t, rf, levels, col0=0, size=None):
+def _rfold_inv_cols(t, rf, levels, col0=0, size=None, s2=STAGE2_PAIR):
     """Stage 2 of the inverse along columns (same recursion, axis 1)."""
     if size is None:
         size = t.shape[2]
@@ -722,31 +722,34 @@ def _rfold_inv_cols(t, rf, levels, col0=0, size=None):
     if levels == 0:
         Bs, _BsT = rf[0]
         sub = t[:, :, col0:col0 + size]
-        return _pair_groups(sub, Bs, _dot_right, max_pair=STAGE2_PAIR)
+        return _pair_groups(sub, Bs, _dot_right, max_pair=s2)
     o_idx = levels
-    a = _rfold_inv_cols(t, rf[:o_idx], levels - 1, col0, h)
+    a = _rfold_inv_cols(t, rf[:o_idx], levels - 1, col0, h, s2=s2)
     Bo, _BoT = rf[o_idx]
     sub = t[:, :, col0 + h:col0 + size]
-    b = _pair_groups(sub, Bo, _dot_right, max_pair=STAGE2_PAIR)
+    b = _pair_groups(sub, Bo, _dot_right, max_pair=s2)
     return [jnp.concatenate([x + y, (x - y)[:, ::-1]], axis=1)
             for x, y in zip(a, b)]
 
 
 def idct2_ozaki_rfold(X, rf, m_scale, levels, constrain=lambda x: x,
-                      pallas_slice=False):
+                      pallas_slice=False, s1=STAGE1_PAIR, s2=STAGE2_PAIR):
     """Orthonormal 2-D DCT-III from the permuted basis, inverse of
     :func:`dct2_ozaki_rfold`.  ONE slice call, ONE renorm, contiguous
-    block reads (no strided gathers)."""
+    block reads (no strided gathers).  ``s1``/``s2`` trim the pair
+    cutoffs like the forward's — the default (5, 7) is the validated
+    contract; see resolve_ozaki_inv_pairs for the measured basis of any
+    trim."""
     X = constrain(X)
     dtype = X.dtype
     d = X[0, 0]
     N = X.shape[-1]
     sl = slice_field_pallas if pallas_slice else slice_field
-    n_field = min(N_SLICES, STAGE1_PAIR + 1)
+    n_field = min(N_SLICES, s1 + 1)
     ys, sy = sl(_dc_zero(X), n_field)
-    g1 = _rfold_inv_rows(ys, rf, levels)
-    t = _renorm_to_slices(g1, n_slices=_n_slots())
-    g2 = _rfold_inv_cols(t, rf, levels)
+    g1 = _rfold_inv_rows(ys, rf, levels, s1=s1)
+    t = _renorm_to_slices(g1, n_slices=_n_slots(s2))
+    g2 = _rfold_inv_cols(t, rf, levels, s2=s2)
     u = _horner_f64(g2, jnp.dtype(dtype).type) * (sy * jnp.asarray(
         m_scale * m_scale * 2.0 ** RENORM_SHIFT, dtype))
     return jax.lax.optimization_barrier(u) + d / N

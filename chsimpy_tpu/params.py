@@ -108,6 +108,11 @@ class Parameters:
     # transform only (None = the contract (5, 7) both ways); same damping
     # argument as fwd_matmul_precision — see PERFORMANCE.md round 4
     ozaki_fwd_pairs: Optional[tuple] = None
+    # trimmed (stage1, stage2) pair cutoffs for the INVERSE f64 ozaki
+    # transform, rfold route only (None = measured default (3, 5); the
+    # unfolded/folded inverse variants keep (5, 7) — resolver + measured
+    # basis in core/solver.py::resolve_ozaki_inv_pairs)
+    ozaki_inv_pairs: Optional[tuple] = None
     # experimental: banded-precision inverse for the matmul route —
     # spectral indices >= inv_band contract at 1-pass bf16 (the CH
     # spectrum's high-k tail is ~1e-4 of the dominant band mid-run), the

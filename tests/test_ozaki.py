@@ -319,7 +319,7 @@ def test_solver_rfold_trajectory_matches_matmul():
     fold (rfold2); the solver trajectory must stay in the ozaki accuracy
     class vs the f64 matmul route, through the permuted-leig adaptive
     machinery as well."""
-    def run(tb, adaptive=False, fwd_pairs=None):
+    def run(tb, adaptive=False, fwd_pairs=None, inv_pairs=None):
         p = ct.Parameters()
         p.N = 1024
         p.ntmax = 4
@@ -331,6 +331,7 @@ def test_solver_rfold_trajectory_matches_matmul():
         p.transform_backend = tb
         p.adaptive_time = adaptive
         p.ozaki_fwd_pairs = fwd_pairs
+        p.ozaki_inv_pairs = inv_pairs
         from chsimpy_tpu.core.solver import Solver
         s = Solver(p)
         if tb == 'ozaki':
@@ -341,14 +342,24 @@ def test_solver_rfold_trajectory_matches_matmul():
 
     a = run('matmul')
     b = run('ozaki')
-    # default forward trim (3, 5): the forward transform's damped error
-    # contributes ~1e-11/step to U — contract class (<= 1e-10 in E),
-    # looser than the untrimmed route's 1e-12 (next assertion block)
+    # full default trim (fwd (3, 5) + rfold inverse (3, 5)): the inverse
+    # trim has no damping shield, so its ~1.3e-9/step U term dominates
+    # the per-step class — the CONTRACT statistic (full-run E <= 1e-10
+    # at every step + exact stops) is pinned by the golden replays, not
+    # here (measured 5.6e-11 / stop 1837 at this very N)
+    # (measured: U 5.3e-9, E 4.9e-15 — the trim error is spectrally
+    # structured and nearly energy-neutral)
     np.testing.assert_allclose(np.asarray(b.U), np.asarray(a.U),
-                               rtol=0, atol=2e-10)
+                               rtol=0, atol=2e-8)
     np.testing.assert_allclose(b.timedata.data()[:, 1],
-                               a.timedata.data()[:, 1], rtol=1e-10)
-    c = run('ozaki', fwd_pairs=(5, 7))   # untrimmed: the tight class
+                               a.timedata.data()[:, 1], rtol=1e-13)
+    # inverse untrimmed: back to the damped-forward-only class
+    d = run('ozaki', inv_pairs=(5, 7))
+    np.testing.assert_allclose(np.asarray(d.U), np.asarray(a.U),
+                               rtol=0, atol=2e-10)
+    np.testing.assert_allclose(d.timedata.data()[:, 1],
+                               a.timedata.data()[:, 1], rtol=1e-13)
+    c = run('ozaki', fwd_pairs=(5, 7), inv_pairs=(5, 7))  # untrimmed
     np.testing.assert_allclose(np.asarray(c.U), np.asarray(a.U),
                                rtol=0, atol=1e-12)
     np.testing.assert_allclose(c.timedata.data()[:, 1],
