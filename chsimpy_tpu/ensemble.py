@@ -203,10 +203,11 @@ class EnsembleSolver:
                 if (self.R <= 4 or jax.default_backend() != 'tpu')
                 else 0),
             ozaki_fwd_pairs=solver_mod.resolve_ozaki_fwd_pairs(params),
-            # inverse trim: pin-only under vmap (the single-run default
-            # (3, 5) is measured on the non-batched rfold path; this
-            # route's chip history — the B>=8 miscompiles — earns it a
-            # measured gate before any vmapped default)
+            # inverse trim: pin-only under vmap — measured NEUTRAL there
+            # (scripts/probes/ens_inv_trim.py: 1326 vs 1330 member-
+            # steps/s at R=4 N=512; the four-wide batched int8 dots are
+            # not pass-bound), so the conservative untrimmed default
+            # costs nothing
             ozaki_inv_pairs=(tuple(params.ozaki_inv_pairs)
                              if getattr(params, 'ozaki_inv_pairs', None)
                              else None),
