@@ -168,17 +168,21 @@ def resolve_inv_band(params: Parameters):
     the inverse's MXU passes in half below the cutoff: split route
     N=2048 1433 -> 1669 steps/s (+16%), N=4096 265.6 -> 277.0 (+4%).
 
-    Auto engages under the same conditions as the asymmetric forward
-    (resolve_fwd_matmul_precision): float32, split route, N >= 2048,
-    no pinned --matmul-precision — and single-device only (the pencil
-    banding is wired but not yet measured under a mesh).  ``--inv-band
-    0`` forces uniform precision; an explicit value overrides."""
+    Auto engages for float32, split route, N >= 1024, no pinned
+    --matmul-precision — and single-device only (the pencil banding is
+    wired but not yet measured under a mesh).  N=1024 joined the gate
+    late in round 5 by direct measurement: 2594 -> 2726 steps/s with
+    the full N=1024 f32 run's E max rel vs f64 truth IDENTICAL
+    (1.566e-06) and the stop step unchanged (1828); the asymmetric
+    FORWARD keeps its own N >= 2048 gate (it moves the stop).
+    ``--inv-band 0`` forces uniform precision; an explicit value
+    overrides."""
     ib = getattr(params, 'inv_band', None)
     if ib is not None:
         return None if ib == 0 else ib
     if (params.precision == 'float32'
             and getattr(params, 'matmul_precision', None) is None
-            and params.N >= 2048
+            and params.N >= 1024
             and params.mesh_shape is None
             and _resolve_transform(params) == 'split'):
         return params.N // 4
@@ -203,9 +207,12 @@ def resolve_otf_coeffs(params: Parameters):
     oc = getattr(params, 'otf_coeffs', None)
     if oc is not None:
         return bool(oc)
+    # N >= 1024: measured late in round 5 (2594 -> 2657 steps/s alone,
+    # 2726-2766 with the banded inverse; E digit and stop step both
+    # unchanged on the full N=1024 f32 run)
     return (params.precision == 'float32'
             and getattr(params, 'matmul_precision', None) is None
-            and params.N >= 2048
+            and params.N >= 1024
             and params.mesh_shape is None
             and _resolve_transform(params) == 'split')
 

@@ -104,6 +104,7 @@ def test_otf_coeffs_resolver_gate():
     from chsimpy_tpu.core.solver import resolve_otf_coeffs
     p = params(N=4096, precision='float32')
     assert resolve_otf_coeffs(p) is True
+    assert resolve_otf_coeffs(params(N=1024, precision='float32')) is True
     assert resolve_otf_coeffs(params(N=512, precision='float32')) is False
     assert resolve_otf_coeffs(params(N=4096, precision='float64')) is False
     p = params(N=4096, precision='float32', matmul_precision='highest')
