@@ -371,3 +371,33 @@ def test_pencil_per_device_footprint_is_total_over_D():
         assert len(x.sharding.device_set) == D
         per_dev = x.dtype.itemsize * int(np.prod(shard))
         assert per_dev * D == x.nbytes, (name, shard, x.shape)
+
+
+def test_pencil_pinned_inv_band_and_otf_compose():
+    """TUNING.md promises the --inv-band and --otf-coeffs PINS also work
+    under a mesh (auto stays single-device): the pinned f32 pencil run
+    must compile, execute, and track the unpinned pencil trajectory in
+    the f32 accuracy class (the banded tail rounding and the <=1 ULP
+    leig rebuild are both far under the route's own noise)."""
+    from chsimpy_tpu.core.solver import Solver
+
+    base = Solver(_pencil_params((2, 4), precision='float32'))
+    assert base.cfg.pencil
+    base.prepare()
+    base.solve_or_resume(40)
+
+    p = _pencil_params((2, 4), precision='float32')
+    p.inv_band = 16          # N=64 -> N/4
+    p.otf_coeffs = 1
+    pin = Solver(p)
+    assert pin.cfg.pencil
+    assert pin.cfg.inv_band == 16
+    assert pin.cfg.otf_coeffs
+    pin.prepare()
+    pin.solve_or_resume(40)
+    np.testing.assert_allclose(np.asarray(pin.solution.U),
+                               np.asarray(base.solution.U),
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(pin.solution.timedata.data()[:, 1],
+                               base.solution.timedata.data()[:, 1],
+                               rtol=1e-5)
