@@ -50,6 +50,39 @@ def test_ensemble_matches_single_runs():
                                    ref.timedata.data(), rtol=1e-12)
 
 
+def test_ensemble_honors_pinned_fast_knobs():
+    """Explicit --inv-band / --otf-coeffs / --ozaki-inv-pairs pins reach
+    the vmapped program (auto keeps them off under vmap), and a pinned
+    ensemble matches pinned single runs in the same agreement class as
+    the unpinned route."""
+    p = base_params(precision='float32', transform_backend='split',
+                    N=32, ntmax=30)
+    p.inv_band = 8
+    p.otf_coeffs = 1
+    pairs = a_pairs(p, [(1.0, 1.0), (1.004, 0.997)])
+    ens = EnsembleSolver(p, pairs)
+    assert ens.cfg.inv_band == 8
+    assert ens.cfg.otf_coeffs
+    ens.prepare()
+    sols = ens.solve_or_resume(p.ntmax)
+    for i, (A0, A1) in enumerate(pairs):
+        ps = base_params(precision='float32', transform_backend='split',
+                         N=32, ntmax=30)
+        ps.inv_band = 8
+        ps.otf_coeffs = 1
+        ps.A0_const = float(A0)
+        ps.A1_const = float(A1)
+        ref = ct.Simulator(ps).solve()
+        assert sols[i].computed_steps == ref.computed_steps
+        np.testing.assert_allclose(sols[i].U, ref.U, rtol=0, atol=1e-6)
+    # the f64 ozaki inverse-pair pin threads to the vmapped rfold too
+    p64 = base_params(precision='float64', transform_backend='ozaki',
+                      N=64, ntmax=10)
+    p64.ozaki_inv_pairs = (4, 6)
+    ens64 = EnsembleSolver(p64, a_pairs(p64, [(1.0, 1.0), (0.998, 1.002)]))
+    assert ens64.cfg.ozaki_inv_pairs == (4, 6)
+
+
 def test_ensemble_per_member_early_stop():
     """Members stop at different steps; finished members stay frozen."""
     p = base_params(N=64, ntmax=6000, full_sim=False)
