@@ -252,8 +252,8 @@ def resolve_ozaki_inv_pairs(params: Parameters):
 
     Round 4 left the inverse at the untrimmed (5, 7) on the argument
     that it has no damping shield — its output IS the field.  Round 5
-    measured it (scripts/probes/ozaki_inv_trim.py + /tmp margin sweep,
-    N=1024 full-run golden, rfold production path, fwd trim active):
+    measured it (scripts/probes/ozaki_inv_trim.py — N=1024 full-run
+    golden, rfold production path, fwd trim active):
 
         inv pairs  max rel E    stop        N=4096 f64 steps/s
         (5, 7)     5.619e-11    1837 exact  17.5  (same-day baseline)

@@ -31,7 +31,8 @@ def contract(ct, np):
         g = json.load(f)
     E_ref = np.asarray(g['E'])
     out = {}
-    for pairs in (None, (4, 6), (3, 5)):
+    # full margin sweep: the cliff sits at (2, 3), like the forward's
+    for pairs in (None, (4, 6), (3, 5), (2, 4), (2, 3), (1, 2)):
         label = f"inv {pairs or (5, 7)}"
         p = ct.Parameters()
         p.no_gui = True
